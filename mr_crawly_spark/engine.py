@@ -1,0 +1,341 @@
+"""CrawlEngine: the micro-batch crawl loop (SURVEY.md §3.3, §2.9).
+
+One round = one deterministic driver iteration (Trigger.AvailableNow-style):
+
+    slice    = frontier rank window (O3) ∧ politeness gate (F7)
+    fetched  = slice ⟕ corpus (J1, bucket-pruned broadcast join)
+    outcome  = robots (F2) / 404 / transient-503 retry (F7) / 200
+    links    = explode link spans (A1) → canonicalize (P2) → hash (P3)
+               → same-domain (F1) → dedup + self-link quirk (D1/A4)
+    fresh    = links ⟖̸ seen (J3, Bloom-prefiltered anti-join)
+    frontier' = status rewrites + merge (D6); seen' += fresh
+    snapshot (S11): frontier snapshot, seen/pages/links deltas, round manifest
+
+Logical time advances ROUND_SECONDS per round — wall clock never enters the
+semantics, so outputs are identical at any parallelism (the pytest suite
+asserts local[2] ≡ local[8] ≡ sequential oracle).
+
+Budget semantics (F6, manager.py:248-253): max_pages counts successful
+fetches; when a round could cross the budget, a global-order window decides
+exactly which slice entries are processed (the rest stay pending) — matching
+the reference's mid-round shutdown. The window is single-partition, so it
+only runs on rounds that can actually hit the budget (short-circuit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_crawly_spark import schemas as S
+from mr_crawly_spark.datagen import (
+    BACKOFF,
+    MAX_RETRIES,
+    ROUND_SECONDS,
+    TRANSIENT_FAIL_MOD,
+)
+from mr_crawly_spark.functions.urls import url_hash_col
+from mr_crawly_spark.operators import seen as seen_ops
+from mr_crawly_spark.operators.frontier import (
+    apply_updates,
+    new_frontier_entries,
+    select_slice,
+)
+from mr_crawly_spark.operators.parse import extract_outlinks
+from mr_crawly_spark.operators.politeness import host_budgets, robots_gate
+from mr_crawly_spark.operators.sitemap import bootstrap_frontier_urls, expand_sitemaps
+from mr_crawly_spark.plans.catalog import SnapshotCatalog
+from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+
+@dataclass
+class CrawlConfig:
+    warehouse: str
+    run_id: str = "run_0001"
+    max_pages: int = 10**9
+    max_rounds: int = 100
+    salt_partitions: int | None = None   # repartition width for hot-host salting
+    salt: int = 16
+    use_bloom: bool = False
+    bloom_buckets: int = 32
+    bloom_fpp: float = 0.01
+
+
+def _transient_fail_col(url):
+    """JVM-side twin of datagen.is_transient_fail: md5 of 'fail:'+url, first
+    15 hex chars as int, mod TRANSIENT_FAIL_MOD — no UDF, codegen-friendly."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("fail:"), url)), 1, 15), 16, 10)
+    return h.cast("long") % TRANSIENT_FAIL_MOD == 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fetcher: CorpusFetcher,
+        robots: DataFrame,
+        sitemaps_raw: DataFrame,
+        seeds: DataFrame,
+        config: CrawlConfig,
+    ):
+        self.spark = spark
+        self.fetcher = fetcher
+        self.robots = robots
+        self.sitemaps_raw = sitemaps_raw
+        self.seeds = seeds
+        self.cfg = config
+        self.catalog = SnapshotCatalog(spark, config.warehouse)
+        self.budgets = host_budgets(robots)  # tiny, reused every round
+        self.visited_count = 0
+        self.round = 0
+        self._blooms: dict[int, bytes] | None = None
+        self._bloom_mk: tuple[int, int] | None = None
+
+    # ------------------------------------------------------------------ #
+    def bootstrap(self) -> None:
+        """Round 0: sitemap expansion -> initial frontier + seen (SURVEY §3.2)."""
+        details, fallback = expand_sitemaps(self.seeds, self.sitemaps_raw)
+        first = bootstrap_frontier_urls(details, fallback)
+        frontier = new_frontier_entries(first, round_=0, run_id=self.cfg.run_id)
+        seen = frontier.select("url_hash", "url").withColumn(
+            "first_seen_round", F.lit(0)
+        ).withColumn("run_id", F.lit(self.cfg.run_id))
+        self.catalog.commit("sitemaps", details, 0, mode="delta")
+        self.catalog.commit("frontier", frontier, 0, mode="snapshot")
+        self.catalog.commit("seen", seen, 0, mode="delta")
+        empty_pages = self.spark.createDataFrame([], S.PAGES)
+        empty_links = self.spark.createDataFrame([], S.LINKS)
+        self.catalog.commit("pages", empty_pages, 0, mode="delta")
+        self.catalog.commit("links", empty_links, 0, mode="delta")
+        self.round = 0
+        self.visited_count = 0
+        self._commit_round({"visited_count": 0, "processed": 0})
+
+    def resume(self) -> bool:
+        """Pick up from the last complete round manifest (north_rule:
+        'resumable from checkpoint'). Returns True if state was found."""
+        last = self.catalog.last_round()
+        if last is None:
+            return False
+        self.round = last["round"]
+        self.visited_count = last["visited_count"]
+        return True
+
+    def _commit_round(self, extra: dict) -> None:
+        self.catalog.commit_round(
+            self.round,
+            {
+                "run_id": self.cfg.run_id,
+                "logical_time": self.round * ROUND_SECONDS,
+                **extra,
+            },
+        )
+
+    # ------------------------------------------------------------------ #
+    def _maybe_build_blooms(self, seen: DataFrame) -> None:
+        if not self.cfg.use_bloom:
+            return
+        n = seen.count()
+        m, k = seen_ops.bloom_params(max(n, 1024), self.cfg.bloom_fpp)
+        self._blooms = seen_ops.build_bucket_blooms(
+            seen, self.cfg.bloom_buckets, m, k
+        )
+        self._bloom_mk = (m, k)
+
+    def run_round(self) -> dict:
+        """Execute one crawl round; returns the round's metric dict."""
+        r = self.round + 1
+        t = r * ROUND_SECONDS
+        frontier = self.catalog.load("frontier", max_round=self.round)
+        seen = self.catalog.load("seen", max_round=self.round)
+
+        sliced = select_slice(
+            frontier, self.budgets, t,
+            salt_partitions=self.cfg.salt_partitions, salt=self.cfg.salt,
+        )
+        gated = robots_gate(sliced, self.robots)
+        fetched = self.fetcher.fetch(gated).persist()
+        n_slice = fetched.count()
+        if n_slice == 0:
+            self.round = r
+            self._commit_round({"visited_count": self.visited_count, "processed": 0})
+            fetched.unpersist()
+            return {"round": r, "processed": 0, "fetched_ok": 0}
+
+        classified = (
+            fetched.withColumn(
+                "_transient",
+                _transient_fail_col(F.col("url"))
+                & (F.col("retry_count") == 0)
+                & F.col("spans").isNotNull(),
+            )
+            .withColumn(
+                "_outcome",
+                F.when(~F.col("allowed"), F.lit("robots_denied"))
+                .when(F.col("spans").isNull(), F.lit("error404"))
+                .when(F.col("_transient"), F.lit("retry"))
+                .otherwise(F.lit("success")),
+            )
+            .withColumn("_is_success", (F.col("_outcome") == "success").cast("int"))
+        )
+
+        # --- budget gate (F6): only rounds that can cross max_pages pay for
+        # the global-order window --------------------------------------------
+        if self.visited_count + n_slice > self.cfg.max_pages:
+            w = Window.orderBy(
+                F.col("host").asc(),
+                F.col("priority").desc(),
+                F.col("discovered_round").asc(),
+                F.col("url").asc(),
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            classified = classified.withColumn(
+                "_succ_before", F.coalesce(F.sum("_is_success").over(w), F.lit(0))
+            ).withColumn(
+                "_processed",
+                (F.lit(self.visited_count) + F.col("_succ_before"))
+                < F.lit(self.cfg.max_pages),
+            )
+        else:
+            classified = classified.withColumn("_processed", F.lit(True))
+        classified = classified.persist()
+
+        processed = classified.filter(F.col("_processed"))
+        successes = processed.filter(F.col("_outcome") == "success")
+        errors404 = processed.filter(F.col("_outcome") == "error404")
+
+        # --- sinks: pages (S5/S6) -------------------------------------------
+        def page_rows(df: DataFrame, status: int) -> DataFrame:
+            return df.select(
+                "url", "url_hash", "host",
+                F.lit(status).alias("fetch_status"),
+                F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
+                F.lit(r).alias("round"),
+                "priority", "discovered_round",
+                F.lit(self.cfg.run_id).alias("run_id"),
+            )
+
+        pages_delta = page_rows(successes, 200).unionByName(page_rows(errors404, 404))
+
+        # --- parse + links (A1/A2/F1/D1/A4, S7) ------------------------------
+        links_pairs = extract_outlinks(successes.select("url", "host", "spans"))
+        links_delta = links_pairs.join(
+            successes.select(F.col("url").alias("source_url"), "host"),
+            "source_url",
+            "inner",
+        ).select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("seed_url"),
+            "source_url",
+            "linked_url",
+            F.lit(r).alias("round"),
+            F.lit(self.cfg.run_id).alias("run_id"),
+        ).dropDuplicates(["seed_url", "source_url", "linked_url"])
+
+        # --- dedup against seen (D2/J3) --------------------------------------
+        candidates = (
+            links_pairs.select(F.col("linked_url").alias("url"))
+            .dropDuplicates(["url"])
+            .withColumn("url_hash", url_hash_col(F.col("url")))
+        )
+        self._maybe_build_blooms(seen)
+        if self._blooms is not None:
+            m, k = self._bloom_mk
+            fresh = seen_ops.filter_unseen(
+                candidates, seen, self._blooms, self.cfg.bloom_buckets, m, k
+            )
+        else:
+            fresh = seen_ops.filter_unseen(candidates, seen)
+
+        new_entries = new_frontier_entries(
+            fresh.select("url"), round_=r, run_id=self.cfg.run_id
+        )
+        seen_delta = new_entries.select("url_hash", "url").withColumn(
+            "first_seen_round", F.lit(r)
+        ).withColumn("run_id", F.lit(self.cfg.run_id))
+
+        # --- frontier status rewrites (P10) -----------------------------------
+        updates = processed.select(
+            "url_hash",
+            "url",
+            F.when(F.col("_outcome") == "success", F.lit("fetched"))
+            .when(F.col("_outcome") == "robots_denied", F.lit("robots_denied"))
+            .when(F.col("_outcome") == "error404", F.lit("error"))
+            .when(F.col("retry_count") + 1 >= MAX_RETRIES, F.lit("error"))
+            .otherwise(F.lit("pending"))
+            .alias("new_status"),
+            F.when(F.col("_outcome") == "retry", F.col("retry_count") + 1)
+            .otherwise(F.col("retry_count"))
+            .alias("new_retry_count"),
+            F.when(
+                (F.col("_outcome") == "retry")
+                & (F.col("retry_count") + 1 < MAX_RETRIES),
+                F.lit(t)
+                + F.element_at(
+                    F.array(*[F.lit(b) for b in BACKOFF]), F.col("retry_count") + 1
+                ),
+            )
+            .otherwise(F.col("next_attempt_at"))
+            .alias("new_next_attempt_at"),
+        )
+        frontier_next = apply_updates(frontier, updates).unionByName(new_entries)
+
+        # --- metrics + snapshot commits (S11) ---------------------------------
+        n_ok = successes.count()
+        n_processed = processed.count()
+        metrics = {
+            "round": r,
+            "slice": n_slice,
+            "processed": n_processed,
+            "fetched_ok": n_ok,
+            "denied": processed.filter(F.col("_outcome") == "robots_denied").count(),
+            "err404": errors404.count(),
+            "retries": processed.filter(F.col("_outcome") == "retry").count(),
+        }
+        self.catalog.commit("frontier", frontier_next, r, mode="snapshot", metrics=metrics)
+        self.catalog.commit("seen", seen_delta, r, mode="delta")
+        self.catalog.commit("pages", pages_delta, r, mode="delta")
+        self.catalog.commit("links", links_delta, r, mode="delta")
+        self.visited_count += n_ok
+        self.round = r
+        self._commit_round({"visited_count": self.visited_count, **metrics})
+        classified.unpersist()
+        fetched.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------------ #
+    def has_pending(self) -> bool:
+        frontier = self.catalog.load("frontier", max_round=self.round)
+        return not frontier.filter(F.col("status") == "pending").isEmpty()
+
+    def run(self, fresh: bool = True) -> list[dict]:
+        """Drive until the frontier drains or budgets run out (main.py:17-21)."""
+        if fresh or not self.resume():
+            self.bootstrap()
+        history: list[dict] = []
+        while (
+            self.round < self.cfg.max_rounds
+            and self.visited_count < self.cfg.max_pages
+            and self.has_pending()
+        ):
+            history.append(self.run_round())
+        return history
+
+    # ------------------------------------------------------------------ #
+    # result accessors (golden-comparison views)
+    def crawl_order(self) -> DataFrame:
+        """Deterministic global crawl order O5: (round, host, priority DESC,
+        discovered_round, url) over successful fetches."""
+        pages = self.catalog.load("pages", max_round=self.round)
+        w = Window.orderBy(
+            F.col("round").asc(), F.col("host").asc(), F.col("priority").desc(),
+            F.col("discovered_round").asc(), F.col("url").asc(),
+        )
+        return (
+            pages.filter(F.col("fetch_status") == 200)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "url")
+        )
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.load(name, max_round=self.round)

@@ -1,0 +1,112 @@
+"""URL canonicalization + hashing (SURVEY.md §2.2 P1-P5).
+
+The reference absolutizes hrefs with ``urljoin`` (parser.py:51) and keys its
+seen-set on raw URL strings (manager.py:61). The north_rule upgrades this to
+RFC-3986 canonicalization + 64-bit hashing:
+
+- absolutize against the source page (urljoin — includes dot-segment removal)
+- lowercase scheme and host
+- strip default ports (:80 http, :443 https)
+- strip fragments
+- normalize percent-encoding (decode unreserved chars, uppercase hex)
+- empty path -> "/"
+
+The scalar function is shared with the sequential oracle (oracle/crawler.py)
+so "same canonical form" is definitional; golden-pair unit tests in
+tests/test_urls.py pin the actual behavior. On the cluster the work runs as a
+vectorized Arrow pandas UDF (no per-row Python in the plan), and hashing uses
+the built-in ``xxhash64`` (JVM-side, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# RFC 3986 unreserved: ALPHA / DIGIT / "-" / "." / "_" / "~"
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _normalize_percent(s: str) -> str:
+    """Decode percent-escapes of unreserved chars; uppercase the rest."""
+
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def canonicalize_url(base: str | None, href: str | None) -> str | None:
+    """RFC-3986 canonical form of ``href`` resolved against ``base``.
+
+    Returns None for empty/unsupported (non-http[s]) results — callers filter
+    nulls, matching the reference's href-present filter (parser.py:48).
+    """
+    if href is None:
+        return None
+    href = href.strip()
+    if not href:
+        return None
+    absolute = urljoin(base, href) if base else href
+    try:
+        parts = urlsplit(absolute)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = _normalize_percent(parts.path) or "/"
+    query = _normalize_percent(parts.query)
+    # fragment dropped (urlunsplit with "")
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_pairs(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Vectorized core: canonicalize href[i] against base[i]."""
+    return pd.Series(
+        [canonicalize_url(b, h) for b, h in zip(bases, hrefs)], dtype="object"
+    )
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Arrow-batched scalar pandas UDF: (base, href) -> canonical url or null.
+
+    Replaces the per-row ``urljoin`` at parser.py:51. String work must run in
+    Python (urllib semantics are the contract); Arrow batching keeps the
+    transfer columnar — ~10-100x over row-at-a-time UDFs.
+    """
+    return canonicalize_pairs(bases, hrefs)
+
+
+def url_hash_col(url: Column) -> Column:
+    """64-bit seen-set key: built-in xxhash64 — JVM-side, codegen-friendly (P3)."""
+    return F.xxhash64(url)
+
+
+def url_host_col(url: Column) -> Column:
+    """Host of a canonical URL via built-in parse_url (P1) — stays JVM-side."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_path_col(url: Column) -> Column:
+    """Path component (for robots prefix matching)."""
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))

@@ -1,0 +1,108 @@
+"""Frontier slice selection + merge (SURVEY.md O3/O5/F6/F7/D6).
+
+Replaces the three RQ queues (cache.py:189-201) and their FIFO timing with a
+defined deterministic order (§7.2): a round's slice is each host's top-k by
+(priority DESC, discovered_round ASC, url ASC), k = politeness budget; the
+in-round processing order is (host ASC, priority DESC, discovered_round ASC,
+url ASC).
+
+Scale notes:
+- the ranking window partitions by HOST — at 10^10 URLs a single hot host's
+  partition is the skew risk, so the slice is re-salted right after ranking
+  (repartition on (host, pmod(url_hash, salt))) before fetch/parse work
+  (north_rule axis B);
+- the global-order budget window (single partition!) only runs when this
+  round could actually hit max_pages — the short-circuit keeps the common
+  path free of any global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.datagen import DEFAULT_PRIORITY
+from mr_crawly_spark.functions.urls import url_hash_col, url_host_col
+from mr_crawly_spark.operators.politeness import DEFAULT_K_HOST
+
+
+def select_slice(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    t_round: float,
+    salt_partitions: int | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """Eligible pending entries, per-host top-k (O3), salted for skew."""
+    eligible = frontier.filter(
+        (F.col("status") == "pending") & (F.col("next_attempt_at") <= F.lit(t_round))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("discovered_round").asc(), F.col("url").asc()
+    )
+    sliced = (
+        eligible.join(F.broadcast(budgets), "host", "left")
+        .withColumn("k_host", F.coalesce(F.col("k_host"), F.lit(DEFAULT_K_HOST)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k_host"))
+        .drop("_rn", "k_host")
+    )
+    if salt_partitions:
+        # break hot-host skew before the fetch join / parse explode
+        sliced = sliced.repartition(
+            salt_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt))
+        )
+    return sliced
+
+
+def new_frontier_entries(
+    fresh_urls: DataFrame, round_: int, run_id: str
+) -> DataFrame:
+    """Frontier rows for newly discovered canonical URLs (D6 merge input).
+    fresh_urls: DataFrame with ``url`` (+ optional ``priority``), already
+    unseen."""
+    pri = (
+        F.col("priority")
+        if "priority" in fresh_urls.columns
+        else F.lit(DEFAULT_PRIORITY)
+    )
+    return fresh_urls.select(
+        F.col("url"),
+        url_hash_col(F.col("url")).alias("url_hash"),
+        url_host_col(F.col("url")).alias("host"),
+        F.lit("pending").alias("status"),
+        pri.cast("double").alias("priority"),
+        F.lit(None).cast("string").alias("change_freq"),
+        F.lit(None).cast("string").alias("last_modified"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0.0).alias("next_attempt_at"),
+        F.lit(round_).alias("discovered_round"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+def apply_updates(frontier: DataFrame, updates: DataFrame) -> DataFrame:
+    """Rewrite status/retry columns for processed rows (P10 — the status
+    transitions of cache.py:140-159 as column rewrites, not per-key mutation).
+
+    ``updates``: (url_hash, url, new_status, new_retry_count, new_next_attempt_at).
+    """
+    u = updates.select(
+        "url_hash",
+        "url",
+        F.col("new_status"),
+        F.col("new_retry_count"),
+        F.col("new_next_attempt_at"),
+    )
+    return (
+        frontier.join(u, ["url_hash", "url"], "left")
+        .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
+        .withColumn(
+            "retry_count", F.coalesce(F.col("new_retry_count"), F.col("retry_count"))
+        )
+        .withColumn(
+            "next_attempt_at",
+            F.coalesce(F.col("new_next_attempt_at"), F.col("next_attempt_at")),
+        )
+        .drop("new_status", "new_retry_count", "new_next_attempt_at")
+    )

@@ -1,0 +1,84 @@
+"""Robots gate + per-host politeness budgets (SURVEY.md F2/J4/F7/O3-budget).
+
+The reference consults ``urllib.robotparser`` per URL before every fetch
+(site_downloader.py:42-52) with two quirks we replicate exactly (B15):
+URLs containing "sitemap" bypass robots, and anything unmatched / hosts
+without rules default to ALLOW.
+
+Spark-first design: the matcher is a **pure join + window** — no UDF at all.
+Candidates broadcast-join the rules table on ``host``; ``startswith`` does
+the prefix theta inside whole-stage codegen; the first matching rule in
+``rule_order`` wins via a ``min(struct(rule_order, allow))`` aggregation
+(struct min orders lexicographically, rule_order first). At 10^10-URL scale
+the robots table for the crawled hosts is millions of rows — still far below
+the candidate volume, so broadcast (or a host-partitioned shuffle join when
+it outgrows the broadcast threshold) is the right physical plan; there is no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.datagen import (
+    DEFAULT_CRAWL_DELAY,
+    MAX_PER_HOST_PER_ROUND,
+    ROUND_SECONDS,
+)
+from mr_crawly_spark.functions.urls import url_path_col
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Append boolean ``allowed`` to ``candidates`` (must carry url, host).
+
+    Semantics: first rule (by rule_order) whose path_prefix prefixes the URL
+    path decides; no rule / no match -> allow; "sitemap" substring -> allow
+    (site_downloader.py:49-52).
+    """
+    cand = candidates.withColumn("_path", url_path_col(F.col("url")))
+    rules = robots.select("host", "rule_order", "allow", "path_prefix")
+    matched = (
+        cand.select("url", "host", "_path")
+        .join(F.broadcast(rules), "host", "inner")
+        .filter(F.col("_path").startswith(F.col("path_prefix")))
+        .groupBy("url")
+        .agg(F.min(F.struct("rule_order", "allow")).alias("_first_rule"))
+        .select("url", F.col("_first_rule.allow").alias("_rule_allow"))
+    )
+    return (
+        cand.join(matched, "url", "left")
+        .withColumn(
+            "allowed",
+            F.when(F.col("url").contains("sitemap"), F.lit(True)).otherwise(
+                F.coalesce(F.col("_rule_allow"), F.lit(True))
+            ),
+        )
+        .drop("_path", "_rule_allow")
+    )
+
+
+def host_budgets(robots: DataFrame) -> DataFrame:
+    """Per-host fetch budget for one round: floor(ROUND_SECONDS/crawl_delay),
+    clamped to [1, MAX_PER_HOST_PER_ROUND]. Hosts without robots rows get the
+    default via the left-join coalesce in the frontier slice (frontier.py)."""
+    return (
+        robots.groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+        .withColumn(
+            "k_host",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(MAX_PER_HOST_PER_ROUND),
+                    F.floor(F.lit(ROUND_SECONDS) / F.greatest(F.col("crawl_delay"), F.lit(1e-9))).cast("int"),
+                ),
+            ),
+        )
+        .select("host", "k_host")
+    )
+
+
+DEFAULT_K_HOST = max(
+    1, min(MAX_PER_HOST_PER_ROUND, int(ROUND_SECONDS // DEFAULT_CRAWL_DELAY))
+)

@@ -1,0 +1,165 @@
+"""Snapshot catalog: Iceberg-style versioned tables on plain parquet.
+
+Replaces the reference's run-dir persistence (SQLite files at data.py:13-24,
+RDB snapshot copy at manager.py:142-145 — which is broken, bug B14). No
+Iceberg/Delta jars ship in this sandbox, so we emulate the verbs we need —
+``commit`` / ``load`` / round manifests / ``resume`` — on a directory layout:
+
+    warehouse/
+      <table>/snap-00003/           # full-rewrite tables (frontier)
+      <table>/delta-00002/          # append-only tables (seen, pages, links)
+      <table>/manifest-00003.json   # snapshot_id, parent, round, counts
+      _rounds/round-00002.json      # per-round: table watermarks + metrics
+
+A round commit is atomic-enough for this engine: the round manifest is
+written LAST, after every table write succeeded, so resume only ever sees
+complete rounds (per-partition lineage lives in the table manifests). The
+interface is deliberately shaped like an Iceberg catalog so a real
+``spark.sql.catalog.*`` Iceberg catalog can be swapped in on a cluster.
+
+Checkpoint-to-parquet also serves the iterative-loop role: each round's
+frontier read starts a fresh lineage, so plans never grow with round count
+(the classic iterative-algorithm failure mode on Spark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(os.path.join(warehouse, "_rounds"), exist_ok=True)
+
+    # ---------------- table-level commits ----------------
+    def _next_version(self, table: str) -> int:
+        tdir = os.path.join(self.warehouse, table)
+        os.makedirs(tdir, exist_ok=True)
+        versions = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(tdir)
+            if f.startswith("manifest-")
+        ]
+        return (max(versions) + 1) if versions else 1
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return os.path.join(self.warehouse, table, f"manifest-{version:05d}.json")
+
+    def commit(
+        self,
+        table: str,
+        df: DataFrame,
+        round_: int,
+        mode: str = "snapshot",
+        metrics: dict | None = None,
+    ) -> dict:
+        """Write df as a new snapshot (full rewrite) or delta (append).
+
+        Returns the manifest dict. Row/file counts are recorded per commit —
+        the 'per-partition lineage + metrics' the north_rule asks for.
+        """
+        assert mode in ("snapshot", "delta")
+        version = self._next_version(table)
+        kind = "snap" if mode == "snapshot" else "delta"
+        data_dir = os.path.join(self.warehouse, table, f"{kind}-{version:05d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        n_files = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+        if n_files == 0:
+            # a zero-partition write leaves no schema-bearing file; force one
+            # empty part file so later reads see the schema
+            self.spark.createDataFrame([], df.schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(data_dir)
+            n_files = 1
+        # count from the written files (also validates the write)
+        n_rows = self.spark.read.parquet(data_dir).count()
+        manifest = {
+            "table": table,
+            "snapshot_id": version,
+            "parent_id": version - 1 if version > 1 else None,
+            "kind": mode,
+            "round": round_,
+            "data_dir": data_dir,
+            "n_rows": n_rows,
+            "n_files": n_files,
+            "metrics": metrics or {},
+        }
+        with open(self._manifest_path(table, version), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
+
+    def latest_manifest(self, table: str, max_round: int | None = None) -> dict | None:
+        tdir = os.path.join(self.warehouse, table)
+        if not os.path.isdir(tdir):
+            return None
+        best: dict | None = None
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.startswith("manifest-"):
+                continue
+            with open(os.path.join(tdir, fn)) as f:
+                m = json.load(f)
+            if max_round is not None and m["round"] > max_round:
+                continue
+            if best is None or m["snapshot_id"] > best["snapshot_id"]:
+                best = m
+        return best
+
+    def load(self, table: str, max_round: int | None = None) -> DataFrame | None:
+        """Load a table's current state: latest snapshot, or union of deltas.
+
+        ``max_round`` implements time travel for resume: ignore commits made
+        after that round.
+        """
+        latest = self.latest_manifest(table, max_round)
+        if latest is None:
+            return None
+        if latest["kind"] == "snapshot":
+            return self.spark.read.parquet(latest["data_dir"])
+        # delta table: read every delta dir up to max_round at once
+        dirs = []
+        tdir = os.path.join(self.warehouse, table)
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.startswith("manifest-"):
+                continue
+            with open(os.path.join(tdir, fn)) as f:
+                m = json.load(f)
+            if max_round is not None and m["round"] > max_round:
+                continue
+            if m["n_rows"] > 0:
+                dirs.append(m["data_dir"])
+        if not dirs:
+            return self.spark.read.parquet(latest["data_dir"])  # schema-only
+        return self.spark.read.parquet(*dirs)
+
+    # ---------------- round-level manifests (resume points) ----------------
+    def commit_round(self, round_: int, state: dict) -> None:
+        path = os.path.join(self.warehouse, "_rounds", f"round-{round_:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": round_, **state}, f, indent=1)
+        os.replace(tmp, path)  # atomic: resume never sees partial rounds
+
+    def last_round(self) -> dict | None:
+        rdir = os.path.join(self.warehouse, "_rounds")
+        files = sorted(f for f in os.listdir(rdir) if f.startswith("round-"))
+        if not files:
+            return None
+        with open(os.path.join(rdir, files[-1])) as f:
+            return json.load(f)
+
+    def rollback_to(self, round_: int) -> None:
+        """Drop round manifests newer than ``round_`` (table data dirs are
+        retained — loads are watermarked by round, so stale dirs are inert)."""
+        rdir = os.path.join(self.warehouse, "_rounds")
+        for fn in os.listdir(rdir):
+            if fn.startswith("round-") and int(fn.split("-")[1].split(".")[0]) > round_:
+                os.remove(os.path.join(rdir, fn))
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.warehouse, ignore_errors=True)
