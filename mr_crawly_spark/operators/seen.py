@@ -106,9 +106,14 @@ def bloom_prefilter(
     Candidates must carry ``url_hash``. Buckets missing from the dict are
     empty -> definitely unseen.
     """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(blooms)
-    schema = candidates.schema.add("maybe_seen", "boolean")
+    # fresh StructType — StructType.add would mutate the df's cached schema
+    schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bl = bc.value

@@ -154,12 +154,25 @@ class SnapshotCatalog:
             return json.load(f)
 
     def rollback_to(self, round_: int) -> None:
-        """Drop round manifests newer than ``round_`` (table data dirs are
-        retained — loads are watermarked by round, so stale dirs are inert)."""
+        """Drop round manifests AND table manifests newer than ``round_`` so a
+        re-run's fresh commits don't merge with rolled-back deltas (data dirs
+        are retained; without a manifest they are inert and get overwritten
+        when their version number is reused)."""
         rdir = os.path.join(self.warehouse, "_rounds")
         for fn in os.listdir(rdir):
             if fn.startswith("round-") and int(fn.split("-")[1].split(".")[0]) > round_:
                 os.remove(os.path.join(rdir, fn))
+        for table in os.listdir(self.warehouse):
+            tdir = os.path.join(self.warehouse, table)
+            if table.startswith("_") or not os.path.isdir(tdir):
+                continue
+            for fn in os.listdir(tdir):
+                if not fn.startswith("manifest-"):
+                    continue
+                with open(os.path.join(tdir, fn)) as f:
+                    m = json.load(f)
+                if m["round"] > round_:
+                    os.remove(os.path.join(tdir, fn))
 
     def destroy(self) -> None:
         shutil.rmtree(self.warehouse, ignore_errors=True)

@@ -26,3 +26,10 @@ def corpus():
 @pytest.fixture(scope="session")
 def small_corpus():
     return generate_corpus(n_hosts=4, base_pages=10, hot_factor=3, n_seeds=3)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    """Smallest corpus that still exercises every path — for the expensive
+    multi-run tests (resume, rollback, partition invariance)."""
+    return generate_corpus(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)

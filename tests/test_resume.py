@@ -1,0 +1,75 @@
+"""Resume-from-checkpoint (north_rule) + partition-invariance tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+from mr_crawly_spark.datagen import corpus_to_spark
+from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+
+def _engine(spark, corpus, wh, **kw):
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    return CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
+        CrawlConfig(warehouse=wh, **kw),
+    )
+
+
+def _final_state(engine):
+    order = [r["url"] for r in engine.crawl_order().orderBy("rank").collect()]
+    seen = {r["url"] for r in engine.table("seen").collect()}
+    links = {
+        (r["seed_url"], r["source_url"], r["linked_url"])
+        for r in engine.table("links").collect()
+    }
+    return order, seen, links
+
+
+def test_resume_equals_uninterrupted(spark, tiny_corpus):
+    """Kill after round 2, resume in a NEW engine, final state identical."""
+    wh = tempfile.mkdtemp(prefix="crawl_resume_")
+    first = _engine(spark, tiny_corpus, wh, max_rounds=2)
+    first.run()
+    assert first.round == 2  # stopped early
+
+    resumed = _engine(spark, tiny_corpus, wh, max_rounds=100)
+    assert resumed.resume()
+    assert resumed.round == 2
+    assert resumed.visited_count == first.visited_count
+    resumed.run(fresh=False)
+
+    baseline = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_base_"), max_rounds=100
+    )
+    baseline.run()
+    assert _final_state(resumed) == _final_state(baseline)
+
+
+def test_rollback_then_rerun(spark, tiny_corpus):
+    """Time travel: roll back to round 1 and re-run -> same final state."""
+    wh = tempfile.mkdtemp(prefix="crawl_rb_")
+    eng = _engine(spark, tiny_corpus, wh)
+    eng.run()
+    want = _final_state(eng)
+
+    eng.catalog.rollback_to(1)
+    again = _engine(spark, tiny_corpus, wh)
+    assert again.resume()
+    assert again.round == 1
+    again.run(fresh=False)
+    assert _final_state(again) == want
+
+
+def test_partition_invariance(spark, tiny_corpus):
+    """Same outputs under explicit hot-host salting / different partitioning —
+    the determinism-under-parallelism property (SURVEY.md §5.2-5)."""
+    plain = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_p_"))
+    plain.run()
+    salted = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_s_"),
+        salt_partitions=5, salt=7,
+    )
+    salted.run()
+    assert _final_state(plain) == _final_state(salted)
