@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal). Each SQL-expressible query has a DuckDB twin in
+``oracle_sql()`` with identical column names and pinned types (bigint
+counts, round(…,4) doubles, md5 hex strings) so the driver's value-hash
+comparison is exact. Non-SQL-expressible entries (the crawl engine itself,
+LSH ANN, multimodal mapInPandas) omit the oracle -> rows-only check; their
+correctness lives in tests/ (sequential-oracle equivalence, recall bounds).
 """
 
 from __future__ import annotations
@@ -12,27 +15,518 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from mr_crawly_spark.functions import text as T
+from mr_crawly_spark.operators import dedup as D
+from mr_crawly_spark.operators import multimodal as MM
+from mr_crawly_spark.operators import similarity as SIM
+from mr_crawly_spark.sources.tables import load_table
+
+BACKOFF = [10.0, 30.0, 60.0]
+STOP_SQL = "['" + "','".join(T.STOPWORDS) + "']"
 
 
+# --------------------------------------------------------------------------- #
+# flagship: the training-data document pipeline (quality -> dedup -> stats)
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    keepers = D.exact_dedup(docs).select("fp", "keeper_id")
+    return (
+        scored.join(keepers, "fp", "inner")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "n_tokens", "quality", "pred_lang")
+    )
 
+
+# --------------------------------------------------------------------------- #
+# crawl-shaped queries on the TPC-H-ish tables (operator ids from SURVEY §2)
+
+def q_seen_antijoin(spark, sf_dir):
+    """D2/J3: seen-set membership as LEFT ANTI join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_host_window_topk(spark, sf_dir):
+    """O3: host-keyed priority window -> per-key top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+def q_frontier_merge(spark, sf_dir):
+    """D6: frontier merge = union + global dedup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.col("o_orderkey").alias("key"))
+        .unionByName(li.select(F.col("l_orderkey").alias("key")))
+        .distinct()
+    )
+
+
+def q_fetch_left_join(spark, sf_dir):
+    """J1: fetch = left outer equi-join against the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )
+
+
+def q_links_dedup(spark, sf_dir):
+    """S7/D5: UNIQUE(seed,source,linked) as dropDuplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_suppkey").dropDuplicates()
+
+
+def q_status_transition(spark, sf_dir):
+    """P10: crawl-status state machine as a when/otherwise chain."""
+    orders = load_table(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("pending"))
+        .when(F.col("o_orderstatus") == "F", F.lit("fetched"))
+        .when(F.col("o_orderstatus") == "P", F.lit("parse"))
+        .otherwise(F.lit("closed"))
+    )
+    return (
+        orders.select(F.col("o_orderstatus"), status.alias("status_name"))
+        .groupBy("o_orderstatus", "status_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def q_retry_backoff(spark, sf_dir):
+    """F7: retry backoff schedule via element_at on a constant array."""
+    li = load_table(spark, sf_dir, "lineitem")
+    idx = ((F.col("l_linenumber") - 1) % 3) + 1
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(F.array(*[F.lit(b) for b in BACKOFF]), idx).alias("backoff"),
+    )
+
+
+def q_priority_order(spark, sf_dir):
+    """O5: deterministic global crawl order as a ranked total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+def q_events_agg(spark, sf_dir):
+    """G1-G3: metric aggregation with map-side combine."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """§2.9: tumbling event-time window (batch form of the streaming agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """§2.9 stateful shape: 30-min-gap sessionization via lag + running sum."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, 0)
+    with_sid = with_flag.withColumn("session_id", F.sum("new_session").over(w2))
+    return with_sid.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# training-data pipeline: text analysis / dedup / similarity
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+def q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        T.mean_token_len(F.col("text")).alias("mean_tok_len"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, n_hashes=8, shingle_n=3)
+
+
+def q_neardup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs on a deterministic 10% slice (the full
+    all-shared-shingle join is reserved for LSH candidates at scale)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.jaccard_pairs(docs, threshold=0.05, shingle_n=3)
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash (SQL-checkable slice of the 64-bit operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    summed = words.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**j).cast("long")
+        fp = term if fp is None else fp + term
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+def _query_vec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def q_embed_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# non-SQL-expressible (rows-only check here; correctness proven in tests/)
+
+def q_crawl_seen(spark, sf_dir):
+    """The crawl engine end-to-end on the deterministic synthetic web
+    (sf_dir-independent): final URL-seen set. Oracle-equivalence is the
+    pytest golden suite (tests/test_crawl_oracle.py)."""
+    import tempfile
+
+    from mr_crawly_spark.datagen import corpus_to_spark, generate_corpus
+    from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+    from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+    corpus = generate_corpus(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
+        CrawlConfig(warehouse=tempfile.mkdtemp(prefix="entry_crawl_")),
+    )
+    eng.run()
+    return eng.table("seen").select("url", "first_seen_round")
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=3)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column media pipeline: deterministic payloads -> Arrow-batched
+    mapInPandas feature extraction (decode step stubbed, plumbing real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return MM.extract_features(media)
+
+
+# --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "seen_antijoin": q_seen_antijoin,
+        "host_window_topk": q_host_window_topk,
+        "frontier_merge": q_frontier_merge,
+        "fetch_left_join": q_fetch_left_join,
+        "links_dedup": q_links_dedup,
+        "status_transition": q_status_transition,
+        "retry_backoff": q_retry_backoff,
+        "priority_order": q_priority_order,
+        "events_agg": q_events_agg,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash": q_minhash,
+        "neardup_jaccard": q_neardup_jaccard,
+        "simhash16": q_simhash16,
+        "cosine_topk": q_cosine_topk,
+        "embed_norm": q_embed_norm,
+        # rows-only (no SQL equivalent)
+        "crawl_seen": q_crawl_seen,
+        "ann_lsh": q_ann_lsh,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+TOKENS_SQL = "string_split_regex(trim({col}), '\\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = TOKENS_SQL.format(col="text")
+    fp = (
+        "md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))"
+    )
+    shingle_list = (
+        "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+    )
+    stop_ratio = (
+        f"round(len(list_filter({toks}, t -> list_contains({STOP_SQL}, t)))"
+        f" / greatest(len({toks}), 1), 4)"
+    )
+    mean_tok = (
+        f"round(list_sum(list_transform({toks}, t -> length(t)))"
+        f" / greatest(len({toks}), 1), 4)"
+    )
+    n_tok = f"len({toks})"
+    quality = (
+        f"round((CASE WHEN {n_tok} BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)"
+        f" * (CASE WHEN {stop_ratio} >= 0.03 THEN 1.0 ELSE 0.6 END), 4)"
+    )
+    simhash16_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    simhash16_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END)::BIGINT * {2**j}" for j in range(16)
+    )
+    minhash_aggs = ", ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8)
+    )
+    return {
+        "seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "host_window_topk": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+            FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_suppkey
+                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem
+            ) WHERE rn <= 3
+        """,
+        "frontier_merge": """
+            SELECT DISTINCT o_orderkey AS key FROM orders
+            UNION SELECT DISTINCT l_orderkey AS key FROM lineitem
+        """,
+        "fetch_left_join": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "links_dedup": """
+            SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        """,
+        "status_transition": """
+            SELECT o_orderstatus,
+                   CASE o_orderstatus WHEN 'O' THEN 'pending' WHEN 'F' THEN 'fetched'
+                        WHEN 'P' THEN 'parse' ELSE 'closed' END AS status_name,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "retry_backoff": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE (l_linenumber - 1) % 3 WHEN 0 THEN 10.0
+                        WHEN 1 THEN 30.0 ELSE 60.0 END AS backoff
+            FROM lineitem
+        """,
+        "priority_order": """
+            SELECT rank, o_orderkey, o_orderpriority, o_totalprice
+            FROM (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     row_number() OVER (ORDER BY o_orderpriority ASC,
+                        o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders
+            ) WHERE rank <= 100
+        """,
+        "events_agg": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sids AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM sids GROUP BY user_id
+        """,
+        "dedup_exact": f"""
+            SELECT {fp} AS fp, min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "token_count": f"""
+            SELECT doc_id, {n_tok}::BIGINT AS n_tokens FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, {stop_ratio} AS stop_ratio, {mean_tok} AS mean_tok_len,
+                   {quality} AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN {stop_ratio} >= 0.03 THEN 'en' ELSE 'unk' END AS pred_lang
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {fp} AS fp FROM documents
+        """,
+        "minhash": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM documents)
+            )
+            SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id
+        """,
+        "neardup_jaccard": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM documents WHERE doc_id % 10 = 0)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.05
+        """,
+        "simhash16": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest({toks})), 1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            sums AS (SELECT doc_id, {simhash16_sums} FROM words GROUP BY doc_id)
+            SELECT doc_id, {simhash16_fp} AS simhash FROM sums
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+                   AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "embed_norm": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
+            FROM embeddings
+        """,
+    }

@@ -1,0 +1,77 @@
+"""Text-analysis functions for the training-data pipeline (task brief):
+token counting, quality scoring, language-ID heuristic, fingerprinting,
+shingling. All JVM-side column expressions (split / transform / filter /
+aggregate) — no Python in the hot path — so they run inside whole-stage
+codegen and push down cleanly at 100 TB.
+
+Every function has an exact ANSI-SQL twin in __spark_entry__.oracle_sql();
+types are pinned (bigint counts, round(…,4) doubles) so the DuckDB value
+hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, fixed stopword list (shared with the oracle SQL literally)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; collapses runs of spaces."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length documents
+    with a natural stopword rate — the usual cheap pre-training filter."""
+    n = token_count(text)
+    length_ok = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.when(stopword_ratio(text) >= 0.03, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(length_ok * stop_ok, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram-free heuristic language ID: English stopword density.
+    (Real model would be a Pandas-UDF classifier; the plumbing is the same.)"""
+    return F.when(stopword_ratio(text) >= 0.03, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of case-folded, whitespace-collapsed text
+    (the deterministic stand-in for a rolling hash)."""
+    return F.md5(F.concat_ws(" ", tokens(F.lower(text))))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (for MinHash / Jaccard near-dup)."""
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )

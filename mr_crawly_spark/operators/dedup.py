@@ -1,0 +1,206 @@
+"""Deduplication operators for the training-data pipeline (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard. Spark-first: hashing and set
+math stay JVM-side (md5 / conv / explode / groupBy with map-side combine);
+the LSH band join is an equi-join on band keys, so Catalyst shuffles on
+band_key — no all-pairs blowup.
+
+Determinism: every hash is md5-derived (never builtin hash()/xxhash mixed
+with Python), so Spark and DuckDB produce identical values — the md5-based
+MinHash is oracle-checked bit-for-bit in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact near-copy groups: md5 fingerprint -> keeper = min id (hash
+    groupBy; partial aggregation makes this one shuffle of (fp) keys)."""
+    return (
+        documents.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash over word n-gram shingles: mh_i = min(md5(i || ':' || shingle)).
+
+    One explode + one groupBy with n_hashes min() aggregates — map-side
+    combine keeps the shuffle at one row per doc. md5-keyed so the DuckDB
+    oracle reproduces values exactly.
+    """
+    sh = documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands; docs
+    sharing any band key become candidates (equi-join on the band key — the
+    scale-safe alternative to all-pairs)."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes, shingle_n, id_col, text_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + j}") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    explode -> equi-join on shingle -> count commons -> join sizes. The
+    shingle join is the O(pairs-sharing-a-shingle) path; at scale, run it on
+    LSH candidates only (compose with minhash_lsh_pairs).
+    """
+    sh = documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word hashes, fully JVM-side.
+
+    word hash = first 15 md5 hex chars as a 60-bit int; bit j of the
+    fingerprint = sign of sum_j(+1/-1). Uses explode + 60 conditional sums —
+    one shuffle, map-side combined.
+    """
+    words = documents.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    summed = words.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(60):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        term = bit * F.lit(2**j).cast("long") if j < 62 else bit
+        fp = term if fp is None else fp + term
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup pairs by banding the 60-bit fingerprint into 4
+    15-bit bands (docs within hamming distance <= 3 of each other share at
+    least one exact band — classic pigeonhole LSH for SimHash); verify with
+    bit_count of xor."""
+    sh = simhash64(documents)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,111 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (task brief).
+
+Images/audio/video ride as ``binary`` columns; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` — the Spark-side
+plumbing (schema, batching, partition behavior) is real and tested; the
+actual codec step is STUBBED (no image/audio libs in this container):
+
+- ``extract_features(..., decoder='fake')`` uses a deterministic md5-driven
+  fake decoder so tests pin the batch shapes and schema;
+- ``decoder='real'`` raises NotImplementedError at the exact seam where
+  PIL/libav would plug in.
+
+The reference never decodes media (README promises <img>/<script> handling,
+mr_crawly/README.md:7-10; parser.py:46-47 TODO) — media spans carry only
+``media_ref`` — so this operator is forward-looking pipeline surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for an image decoder: dimensions and an
+    8-dim feature vector derived from md5 of the payload."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feats = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float32)
+    return width, height, feats / 255.0
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """binary payloads -> (media_id, n_bytes, width, height, features[8]).
+
+    Arrow-batched mapInPandas: each batch decodes vectorized-per-row in
+    Python (the unavoidable codec boundary), everything before/after stays
+    columnar. Partitioning of the input is preserved — repartition upstream
+    if payloads are skewed.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                # the seam where PIL / torchvision / libav would decode
+                raise NotImplementedError(
+                    "real media decoding unavailable in this environment; "
+                    "use decoder='fake'"
+                )
+            out = {"media_id": [], "n_bytes": [], "width": [], "height": [], "features": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, feats = _fake_decode(data)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(data))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, MEDIA_FEATURES)
+
+
+def media_spans_to_payloads(documents: DataFrame) -> DataFrame:
+    """Pull media spans out of span documents as (media_id, payload) where
+    payload is a deterministic synthetic binary (the corpus carries refs,
+    not bytes — matching the reference, which never stores media bodies)."""
+    refs = documents.select(
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+        ).alias("span")
+    ).select(F.col("span.media_ref").alias("media_id")).dropDuplicates()
+    return refs.withColumn(
+        "payload", F.encode(F.concat(F.lit("payload:"), F.col("media_id")), "UTF-8")
+    )

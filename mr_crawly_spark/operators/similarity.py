@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (task brief):
+
+- brute-force cosine top-k — the exactness baseline; dot products run
+  JVM-side via zip_with/aggregate (no UDF, no collect);
+- LSH-bucketed ANN — random-hyperplane signatures (signs of dot products
+  with md5-seeded deterministic hyperplanes) shrink the candidate set to
+  one bucket (+ optional multiprobe), then exact cosine re-ranks. The
+  scale path: the expensive exact pass touches only the bucket.
+
+Embeddings are array<float>; accumulation is double.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    Plan shape: one narrow projection (dot/norm fused in codegen) + a
+    global top-k (takeOrdered semantics via orderBy.limit — Spark runs this
+    as per-partition top-k + small merge, no full sort at scale).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), q) / (F.lit(qn) * _norm(F.col(vec_col))), 4
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """md5-seeded pseudo-random unit hyperplanes — identical on every run
+    and every engine (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+            vals.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Bucket id = bit-packed signs of <v, plane_p>."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, pl) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit * F.lit(2**p).cast("long")
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket, exact
+    cosine within it. Recall is tested in pytest against cosine_topk."""
+    dim = len(query_vec)
+    planes = deterministic_hyperplanes(dim, n_planes)
+    qbits = 0
+    qv = np.array(query_vec, dtype=np.float64)
+    for p, plane in enumerate(planes):
+        if float(np.dot(qv, np.array(plane))) >= 0:
+            qbits |= 1 << p
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("_bucket") == qbits).drop("_bucket")
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: bucket join on hyperplane signature
+    (scale path — no all-pairs), exact cosine >= threshold within buckets."""
+    planes = deterministic_hyperplanes(
+        len(embeddings.select(vec_col).first()[0]), n_planes
+    )
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    joined = (
+        left.join(right, "_bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(
+                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return joined.dropDuplicates(["id_a", "id_b"])
