@@ -1,0 +1,85 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Components:
+- per-query seconds for the perf-relevant __spark_entry__ queries (forced
+  with the noop writer so the full plan executes);
+- crawl_e2e: the engine end-to-end on a generated corpus (urls/sec);
+- frontier_throughput: the headline inner-loop metric (canonicalize ->
+  hash -> seen anti-join -> politeness window) at synthetic scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import __spark_entry__ as entry_mod
+from mr_crawly_spark.bench_jobs import crawl_e2e_job, frontier_throughput_job
+from mr_crawly_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "seen_antijoin",
+    "host_window_topk",
+    "frontier_merge",
+    "events_hourly",
+    "sessionize",
+    "dedup_exact",
+    "token_count",
+    "minhash",
+    "simhash16",
+    "neardup_jaccard",
+    "cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="mr-crawly-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    crawl = crawl_e2e_job(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
+    timings["crawl_e2e"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    frontier = frontier_throughput_job(spark)
+    timings["frontier_throughput"] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_per_sec",
+                "value": frontier["urls_per_sec"],
+                "unit": "urls/sec",
+                "queries": timings,
+                "sf": sf,
+                "total_sec": total,
+                "crawl_e2e": crawl,
+                "frontier": frontier,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

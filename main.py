@@ -1,0 +1,72 @@
+"""spark-submit entry point (SURVEY.md §3.1).
+
+    spark-submit --py-files <zip> main.py --hosts 8 --base-pages 40 \
+        --max-pages 100 --warehouse /tmp/crawl_wh [--resume]
+
+Mirrors the reference CLI (main.py:28-46: url, --max-pages, --num_workers,
+--retries, --debug) with the queue/worker knobs replaced by Spark-native
+ones (parallelism comes from the cluster; retries/backoff are engine
+constants shared with the oracle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from mr_crawly_spark.datagen import corpus_to_spark, generate_corpus
+from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+from mr_crawly_spark.session import get_spark
+from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="mr-crawly-spark crawl driver")
+    p.add_argument("--hosts", type=int, default=8)
+    p.add_argument("--base-pages", type=int, default=40)
+    p.add_argument("--hot-factor", type=int, default=6)
+    p.add_argument("--seeds", type=int, default=None, help="number of seed hosts")
+    p.add_argument("--max-pages", type=int, default=10**9)
+    p.add_argument("--max-rounds", type=int, default=100)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--corpus-path", default=None,
+                   help="bucketed parquet corpus (else generate in-memory)")
+    p.add_argument("--salt-partitions", type=int, default=None)
+    p.add_argument("--use-bloom", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(master=args.master)
+    corpus = generate_corpus(
+        n_hosts=args.hosts, base_pages=args.base_pages,
+        hot_factor=args.hot_factor, n_seeds=args.seeds,
+    )
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    fetcher = (
+        CorpusFetcher(spark, path=args.corpus_path)
+        if args.corpus_path
+        else CorpusFetcher(spark, documents=docs)
+    )
+    engine = CrawlEngine(
+        spark, fetcher, robots, sitemaps, seeds,
+        CrawlConfig(
+            warehouse=args.warehouse, max_pages=args.max_pages,
+            max_rounds=args.max_rounds, salt_partitions=args.salt_partitions,
+            use_bloom=args.use_bloom,
+        ),
+    )
+    history = engine.run(fresh=not args.resume)
+    print(json.dumps({
+        "rounds": engine.round,
+        "visited": engine.visited_count,
+        "history": history,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

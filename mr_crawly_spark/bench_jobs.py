@@ -1,0 +1,137 @@
+"""Benchmark jobs (BASELINE.md targets).
+
+``frontier_throughput_job`` is the headline-metric workload: the crawl
+loop's hot inner pipeline — canonicalize (Arrow UDF) → xxhash64 → seen-set
+anti-join → per-host politeness window — over a DISTRIBUTIVELY generated
+candidate stream (spark.range, never driver-side Python), with 30% of
+candidates on one hot host (the axis-B skew case). Throughput = candidate
+URLs fully processed (fetch-ready, deduped, ranked) per second.
+
+This is the job the N-vs-4N scaling gate runs at local[8] vs local[32]
+(BASELINE.json: efficiency >= 0.8): it is CPU/shuffle-bound, so wall time
+tracks cores — unlike the tiny-corpus e2e crawl, whose per-round driver
+overhead is fixed.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.functions.urls import canonicalize_udf, url_hash_col
+from mr_crawly_spark.operators.frontier import select_slice
+from mr_crawly_spark.operators.seen import filter_unseen
+
+
+def _host_col(id_col, n_hosts: int):
+    # 30% of ids land on the hot host (site0), rest spread by hash
+    return F.concat(
+        F.lit("site"),
+        F.when(id_col % 10 < 3, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(id_col), F.lit(n_hosts))
+        ).cast("string"),
+        F.lit(".test"),
+    )
+
+
+def frontier_throughput_job(
+    spark: SparkSession,
+    n_candidates: int = 2_000_000,
+    n_hosts: int = 1000,
+    per_host_budget: int = 10_000,
+    salt_partitions: int | None = None,
+) -> dict:
+    """One frontier round at synthetic scale; returns timing + counts."""
+    n_targets = max(n_candidates // 4, 1)
+
+    ids = spark.range(n_candidates)
+    cand = ids.select(
+        F.concat(
+            F.lit("https://"), _host_col(F.col("id"), n_hosts),
+            F.lit("/p/"), F.col("id").cast("string"),
+        ).alias("base"),
+        F.concat(
+            F.lit("../p/"), ((F.col("id") * 7 + 1) % n_targets).cast("string"),
+            F.lit("?x=%7e#frag"),
+        ).alias("href"),
+        F.col("id"),
+    )
+    # seen = canonical forms of the first half's targets, built JVM-side
+    seen = spark.range(n_candidates // 2).select(
+        F.concat(
+            F.lit("https://"), _host_col(F.col("id"), n_hosts),
+            F.lit("/p/"), ((F.col("id") * 7 + 1) % n_targets).cast("string"),
+            F.lit("?x=~"),
+        ).alias("url")
+    ).withColumn("url_hash", url_hash_col(F.col("url"))).persist()
+    seen.count()  # materialize outside the timed section
+
+    t0 = time.monotonic()
+    canon = cand.select(
+        canonicalize_udf(F.col("base"), F.col("href")).alias("url")
+    ).filter(F.col("url").isNotNull())
+    hashed = canon.withColumn("url_hash", url_hash_col(F.col("url"))).dropDuplicates(
+        ["url_hash", "url"]
+    )
+    fresh = filter_unseen(hashed, seen)
+    frontier = fresh.select(
+        "url",
+        "url_hash",
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.lit("pending").alias("status"),
+        F.lit(0.5).alias("priority"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0.0).alias("next_attempt_at"),
+        F.lit(0).alias("discovered_round"),
+    )
+    budgets = frontier.sparkSession.createDataFrame(
+        [(f"site{h}.test", per_host_budget) for h in range(n_hosts)],
+        "host string, k_host int",
+    )
+    sliced = select_slice(frontier, budgets, t_round=1.0,
+                          salt_partitions=salt_partitions)
+    n_ready = sliced.count()
+    elapsed = time.monotonic() - t0
+    seen.unpersist()
+    return {
+        "n_candidates": n_candidates,
+        "n_ready": n_ready,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_per_sec": round(n_candidates / elapsed, 1),
+    }
+
+
+def crawl_e2e_job(spark: SparkSession, warehouse: str,
+                  n_hosts: int = 40, base_pages: int = 16,
+                  hot_factor: int = 4) -> dict:
+    """Full engine run on a moderate generated corpus; returns timing."""
+    from mr_crawly_spark.datagen import corpus_to_spark, generate_corpus
+    from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+    from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+    corpus = generate_corpus(n_hosts=n_hosts, base_pages=base_pages,
+                             hot_factor=hot_factor, n_seeds=n_hosts)
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
+        CrawlConfig(warehouse=warehouse),
+    )
+    # size shuffle width to the (tiny) per-round state: the e2e number
+    # measures round mechanics, not shuffle fan-out (the fan-out story is
+    # frontier_throughput_job); on a cluster this is set per input size
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.monotonic()
+    try:
+        eng.run()
+        elapsed = time.monotonic() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return {
+        "rounds": eng.round,
+        "visited": eng.visited_count,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_per_sec": round(eng.visited_count / elapsed, 2),
+    }

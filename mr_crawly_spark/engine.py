@@ -61,6 +61,11 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_buckets: int = 32
     bloom_fpp: float = 0.01
+    # parquet-snapshot cadence: rounds in between keep state as
+    # localCheckpoint()ed in-memory DataFrames (lineage truncated, no disk
+    # I/O); resume points exist at flushed rounds only. 1 = flush every
+    # round (max resumability), larger = fewer commit jobs per round.
+    checkpoint_interval: int = 1
 
 
 def _transient_fail_col(url):
@@ -90,8 +95,17 @@ class CrawlEngine:
         self.budgets = host_budgets(robots)  # tiny, reused every round
         self.visited_count = 0
         self.round = 0
+        # driver-tracked counters (exact, updated per round) — avoid
+        # re-counting the frontier every round just to test loop conditions
+        self.pending_count: int | None = None
+        self.frontier_count: int | None = None
         self._blooms: dict[int, bytes] | None = None
         self._bloom_mk: tuple[int, int] | None = None
+        # in-memory state between parquet snapshots (localCheckpoint'ed)
+        self._frontier: DataFrame | None = None
+        self._seen: DataFrame | None = None
+        self._deltas: dict[str, list[DataFrame]] = {"pages": [], "links": [], "seen": []}
+        self._last_metrics: dict = {}
 
     # ------------------------------------------------------------------ #
     def bootstrap(self) -> None:
@@ -103,15 +117,22 @@ class CrawlEngine:
             "first_seen_round", F.lit(0)
         ).withColumn("run_id", F.lit(self.cfg.run_id))
         self.catalog.commit("sitemaps", details, 0, mode="delta")
-        self.catalog.commit("frontier", frontier, 0, mode="snapshot")
-        self.catalog.commit("seen", seen, 0, mode="delta")
+        m = self.catalog.commit("frontier", frontier, 0, mode="snapshot")
+        self.catalog.commit("seen", seen, 0, mode="delta", n_rows=m["n_rows"])
         empty_pages = self.spark.createDataFrame([], S.PAGES)
         empty_links = self.spark.createDataFrame([], S.LINKS)
-        self.catalog.commit("pages", empty_pages, 0, mode="delta")
-        self.catalog.commit("links", empty_links, 0, mode="delta")
+        self.catalog.commit("pages", empty_pages, 0, mode="delta", n_rows=0)
+        self.catalog.commit("links", empty_links, 0, mode="delta", n_rows=0)
         self.round = 0
         self.visited_count = 0
-        self._commit_round({"visited_count": 0, "processed": 0})
+        self.pending_count = m["n_rows"]
+        self.frontier_count = m["n_rows"]
+        self._frontier = self.catalog.load("frontier", max_round=0)
+        self._seen = self.catalog.load("seen", max_round=0)
+        self._deltas = {"pages": [], "links": [], "seen": []}
+        self._commit_round(
+            {"visited_count": 0, "processed": 0, "pending_count": m["n_rows"]}
+        )
 
     def resume(self) -> bool:
         """Pick up from the last complete round manifest (north_rule:
@@ -121,6 +142,11 @@ class CrawlEngine:
             return False
         self.round = last["round"]
         self.visited_count = last["visited_count"]
+        self.pending_count = last.get("pending_count")  # None -> recount lazily
+        self.frontier_count = None
+        self._frontier = None  # reload from the flushed snapshot lazily
+        self._seen = None
+        self._deltas = {"pages": [], "links": [], "seen": []}
         return True
 
     def _commit_round(self, extra: dict) -> None:
@@ -144,25 +170,40 @@ class CrawlEngine:
         )
         self._bloom_mk = (m, k)
 
+    def _outcome_counts(self, df: DataFrame) -> dict:
+        """One aggregation job for every per-round metric."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_is_success")).alias("ok"),
+            F.sum((F.col("_outcome") == "robots_denied").cast("int")).alias("denied"),
+            F.sum((F.col("_outcome") == "error404").cast("int")).alias("err404"),
+            F.sum((F.col("_outcome") == "retry").cast("int")).alias("retries"),
+            F.sum(
+                (
+                    (F.col("_outcome") == "retry")
+                    & (F.col("retry_count") + 1 < MAX_RETRIES)
+                ).cast("int")
+            ).alias("retry_back"),
+        ).first()
+        return {k: int(row[k] or 0) for k in
+                ("n", "ok", "denied", "err404", "retries", "retry_back")}
+
     def run_round(self) -> dict:
         """Execute one crawl round; returns the round's metric dict."""
         r = self.round + 1
         t = r * ROUND_SECONDS
-        frontier = self.catalog.load("frontier", max_round=self.round)
-        seen = self.catalog.load("seen", max_round=self.round)
+        if self._frontier is None:
+            self._frontier = self.catalog.load("frontier", max_round=self.round)
+        if self._seen is None:
+            self._seen = self.catalog.load("seen", max_round=self.round)
+        frontier, seen = self._frontier, self._seen
 
         sliced = select_slice(
             frontier, self.budgets, t,
             salt_partitions=self.cfg.salt_partitions, salt=self.cfg.salt,
         )
         gated = robots_gate(sliced, self.robots)
-        fetched = self.fetcher.fetch(gated).persist()
-        n_slice = fetched.count()
-        if n_slice == 0:
-            self.round = r
-            self._commit_round({"visited_count": self.visited_count, "processed": 0})
-            fetched.unpersist()
-            return {"round": r, "processed": 0, "fetched_ok": 0}
+        fetched = self.fetcher.fetch(gated)
 
         classified = (
             fetched.withColumn(
@@ -179,11 +220,21 @@ class CrawlEngine:
                 .otherwise(F.lit("success")),
             )
             .withColumn("_is_success", (F.col("_outcome") == "success").cast("int"))
+            .persist()
         )
+        cnt = self._outcome_counts(classified)
+        n_slice = cnt["n"]
+        if n_slice == 0:
+            self.round = r
+            self._last_metrics = {"round": r, "processed": 0, "fetched_ok": 0}
+            if r % self.cfg.checkpoint_interval == 0:
+                self.flush()
+            classified.unpersist()
+            return self._last_metrics
 
-        # --- budget gate (F6): only rounds that can cross max_pages pay for
-        # the global-order window --------------------------------------------
-        if self.visited_count + n_slice > self.cfg.max_pages:
+        # --- budget gate (F6): only rounds that actually cross max_pages pay
+        # for the global-order window -----------------------------------------
+        if self.visited_count + cnt["ok"] > self.cfg.max_pages:
             w = Window.orderBy(
                 F.col("host").asc(),
                 F.col("priority").desc(),
@@ -196,12 +247,13 @@ class CrawlEngine:
                 "_processed",
                 (F.lit(self.visited_count) + F.col("_succ_before"))
                 < F.lit(self.cfg.max_pages),
-            )
+            ).persist()
+            processed = classified.filter(F.col("_processed"))
+            cnt = self._outcome_counts(processed)
         else:
             classified = classified.withColumn("_processed", F.lit(True))
-        classified = classified.persist()
+            processed = classified.filter(F.col("_processed"))
 
-        processed = classified.filter(F.col("_processed"))
         successes = processed.filter(F.col("_outcome") == "success")
         errors404 = processed.filter(F.col("_outcome") == "error404")
 
@@ -219,7 +271,11 @@ class CrawlEngine:
         pages_delta = page_rows(successes, 200).unionByName(page_rows(errors404, 404))
 
         # --- parse + links (A1/A2/F1/D1/A4, S7) ------------------------------
-        links_pairs = extract_outlinks(successes.select("url", "host", "spans"))
+        # persisted: feeds the links sink AND the seen/frontier merge — without
+        # it the canonicalize UDF + dedup shuffles would run once per consumer
+        links_pairs = extract_outlinks(
+            successes.select("url", "host", "spans")
+        ).persist()
         links_delta = links_pairs.join(
             successes.select(F.col("url").alias("source_url"), "host"),
             "source_url",
@@ -249,7 +305,7 @@ class CrawlEngine:
 
         new_entries = new_frontier_entries(
             fresh.select("url"), round_=r, run_id=self.cfg.run_id
-        )
+        ).persist()  # consumed by both the seen delta and the frontier union
         seen_delta = new_entries.select("url_hash", "url").withColumn(
             "first_seen_round", F.lit(r)
         ).withColumn("run_id", F.lit(self.cfg.run_id))
@@ -280,33 +336,80 @@ class CrawlEngine:
         )
         frontier_next = apply_updates(frontier, updates).unionByName(new_entries)
 
-        # --- metrics + snapshot commits (S11) ---------------------------------
-        n_ok = successes.count()
-        n_processed = processed.count()
+        # --- state update: localCheckpoint (lineage cut, in-memory) ----------
+        n_ok, n_processed = cnt["ok"], cnt["n"]
+        # coalesce the small per-round deltas so the in-memory union's
+        # partition count stays bounded between flushes
+        seen_delta_ck = seen_delta.coalesce(8).localCheckpoint()
+        n_new = seen_delta_ck.count()  # cheap: already materialized
+        self._frontier = frontier_next.localCheckpoint()
+        self._seen = seen.unionByName(seen_delta_ck)
+        self._deltas["seen"].append(seen_delta_ck)
+        self._deltas["pages"].append(pages_delta.coalesce(8).localCheckpoint())
+        self._deltas["links"].append(links_delta.coalesce(8).localCheckpoint())
+
         metrics = {
             "round": r,
             "slice": n_slice,
             "processed": n_processed,
             "fetched_ok": n_ok,
-            "denied": processed.filter(F.col("_outcome") == "robots_denied").count(),
-            "err404": errors404.count(),
-            "retries": processed.filter(F.col("_outcome") == "retry").count(),
+            "denied": cnt["denied"],
+            "err404": cnt["err404"],
+            "retries": cnt["retries"],
+            "new_urls": n_new,
         }
-        self.catalog.commit("frontier", frontier_next, r, mode="snapshot", metrics=metrics)
-        self.catalog.commit("seen", seen_delta, r, mode="delta")
-        self.catalog.commit("pages", pages_delta, r, mode="delta")
-        self.catalog.commit("links", links_delta, r, mode="delta")
         self.visited_count += n_ok
+        if self.frontier_count is not None:
+            self.frontier_count += n_new
+        if self.pending_count is not None:
+            self.pending_count += n_new + cnt["retry_back"] - n_processed
         self.round = r
-        self._commit_round({"visited_count": self.visited_count, **metrics})
+        self._last_metrics = metrics
+        if r % self.cfg.checkpoint_interval == 0:
+            self.flush()
         classified.unpersist()
-        fetched.unpersist()
+        links_pairs.unpersist()
+        new_entries.unpersist()
         return metrics
+
+    def flush(self) -> None:
+        """Parquet-snapshot the in-memory state (S11): frontier snapshot,
+        one batched delta per append-only table, then the round manifest
+        (written last — the atomic resume point)."""
+        r = self.round
+        if getattr(self, "_flushed_round", None) == r:
+            return
+        self._flushed_round = r
+        if self._frontier is not None:
+            self.catalog.commit(
+                "frontier", self._frontier, r, mode="snapshot",
+                metrics=self._last_metrics, n_rows=self.frontier_count,
+            )
+        for table in ("seen", "pages", "links"):
+            deltas = self._deltas[table]
+            if deltas:
+                df = deltas[0]
+                for d in deltas[1:]:
+                    df = df.unionByName(d)
+                self.catalog.commit(table, df, r, mode="delta")
+                self._deltas[table] = []
+        # reload state from the flushed parquet: bounds partition counts and
+        # drops the accumulated in-memory blocks
+        self._frontier = None
+        self._seen = None
+        self._commit_round(
+            {"visited_count": self.visited_count,
+             "pending_count": self.pending_count, **self._last_metrics}
+        )
 
     # ------------------------------------------------------------------ #
     def has_pending(self) -> bool:
+        if self.pending_count is not None:
+            return self.pending_count > 0
         frontier = self.catalog.load("frontier", max_round=self.round)
-        return not frontier.filter(F.col("status") == "pending").isEmpty()
+        n = frontier.filter(F.col("status") == "pending").count()
+        self.pending_count = n
+        return n > 0
 
     def run(self, fresh: bool = True) -> list[dict]:
         """Drive until the frontier drains or budgets run out (main.py:17-21)."""
@@ -319,6 +422,8 @@ class CrawlEngine:
             and self.has_pending()
         ):
             history.append(self.run_round())
+        if self.round % self.cfg.checkpoint_interval != 0:
+            self.flush()  # final state always lands on disk
         return history
 
     # ------------------------------------------------------------------ #
@@ -326,6 +431,8 @@ class CrawlEngine:
     def crawl_order(self) -> DataFrame:
         """Deterministic global crawl order O5: (round, host, priority DESC,
         discovered_round, url) over successful fetches."""
+        if any(self._deltas.values()):
+            self.flush()
         pages = self.catalog.load("pages", max_round=self.round)
         w = Window.orderBy(
             F.col("round").asc(), F.col("host").asc(), F.col("priority").desc(),
@@ -338,4 +445,6 @@ class CrawlEngine:
         )
 
     def table(self, name: str) -> DataFrame:
+        if any(self._deltas.values()):
+            self.flush()
         return self.catalog.load(name, max_round=self.round)

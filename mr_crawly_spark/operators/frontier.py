@@ -37,18 +37,34 @@ def select_slice(
     eligible = frontier.filter(
         (F.col("status") == "pending") & (F.col("next_attempt_at") <= F.lit(t_round))
     )
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("discovered_round").asc(), F.col("url").asc()
+    eligible = eligible.join(F.broadcast(budgets), "host", "left").withColumn(
+        "k_host", F.coalesce(F.col("k_host"), F.lit(DEFAULT_K_HOST))
     )
+    order = [
+        F.col("priority").desc(), F.col("discovered_round").asc(), F.col("url").asc()
+    ]
+    if salt_partitions:
+        # two-phase top-k: the hot host's window would otherwise be a single
+        # serial task holding its whole frontier share. Phase 1 takes top-k
+        # within (host, salt) — parallel across salts; the global per-host
+        # top-k is a subset of the union of per-salt top-k's, so phase 2
+        # re-ranks only salt * k_host rows per host. Exact same slice.
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.col("url_hash"), F.lit(salt))
+        ).orderBy(*order)
+        eligible = (
+            eligible.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= F.col("k_host"))
+            .drop("_rn1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
     sliced = (
-        eligible.join(F.broadcast(budgets), "host", "left")
-        .withColumn("k_host", F.coalesce(F.col("k_host"), F.lit(DEFAULT_K_HOST)))
-        .withColumn("_rn", F.row_number().over(w))
+        eligible.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("k_host"))
         .drop("_rn", "k_host")
     )
     if salt_partitions:
-        # break hot-host skew before the fetch join / parse explode
+        # spread the hot host before the fetch join / parse explode
         sliced = sliced.repartition(
             salt_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt))
         )

@@ -58,27 +58,42 @@ class SnapshotCatalog:
         round_: int,
         mode: str = "snapshot",
         metrics: dict | None = None,
+        n_rows: int | None = None,
     ) -> dict:
         """Write df as a new snapshot (full rewrite) or delta (append).
 
         Returns the manifest dict. Row/file counts are recorded per commit —
-        the 'per-partition lineage + metrics' the north_rule asks for.
+        the 'per-partition lineage + metrics' the north_rule asks for. Pass
+        ``n_rows`` when the caller already knows it (skips a re-count job).
         """
         assert mode in ("snapshot", "delta")
         version = self._next_version(table)
         kind = "snap" if mode == "snapshot" else "delta"
         data_dir = os.path.join(self.warehouse, table, f"{kind}-{version:05d}")
         df.write.mode("overwrite").parquet(data_dir)
-        n_files = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
-        if n_files == 0:
+        files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        if not files:
             # a zero-partition write leaves no schema-bearing file; force one
             # empty part file so later reads see the schema
             self.spark.createDataFrame([], df.schema).repartition(1).write.mode(
                 "overwrite"
             ).parquet(data_dir)
-            n_files = 1
-        # count from the written files (also validates the write)
-        n_rows = self.spark.read.parquet(data_dir).count()
+            files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        # per-partition lineage straight from the parquet footers (no Spark
+        # job): exact row count per file, cross-checking the write
+        import pyarrow.parquet as pq
+
+        per_file = [
+            {"file": f,
+             "rows": pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows}
+            for f in files
+        ]
+        footer_rows = sum(p["rows"] for p in per_file)
+        if n_rows is not None and n_rows != footer_rows:
+            raise RuntimeError(
+                f"commit {table} v{version}: caller expected {n_rows} rows, "
+                f"footers say {footer_rows}"
+            )
         manifest = {
             "table": table,
             "snapshot_id": version,
@@ -86,8 +101,9 @@ class SnapshotCatalog:
             "kind": mode,
             "round": round_,
             "data_dir": data_dir,
-            "n_rows": n_rows,
-            "n_files": n_files,
+            "n_rows": footer_rows,
+            "n_files": len(files),
+            "partitions": per_file,
             "metrics": metrics or {},
         }
         with open(self._manifest_path(table, version), "w") as f:

@@ -50,6 +50,9 @@ class CorpusFetcher:
         self.n_buckets = n_buckets
         self.df = documents if documents is not None else spark.read.parquet(path)
         self.bucketed = "bucket" in self.df.columns
+        # in-memory (test/bench) corpora are broadcastable -> single left
+        # join; parquet corpora use the scale path (prune + inner + anti)
+        self.broadcastable = documents is not None and not self.bucketed
 
     def fetch(self, slice_df: DataFrame) -> DataFrame:
         """slice columns + ``spans`` (null => miss/404). Slice must carry
@@ -57,6 +60,8 @@ class CorpusFetcher:
         corp = self.df.select(F.col("doc_id").alias("url"), "spans", *(
             ["bucket"] if self.bucketed else []
         ))
+        if self.broadcastable:
+            return slice_df.join(F.broadcast(corp), "url", "left")
         if self.bucketed:
             buckets = [
                 r[0]

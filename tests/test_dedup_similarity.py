@@ -1,0 +1,181 @@
+"""Property tests for dedup + similarity operators against plain-Python
+references (the SQL-checked slices are covered by test_entry.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.operators import dedup as D
+from mr_crawly_spark.operators import multimodal as MM
+from mr_crawly_spark.operators import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words about spark engines here"),
+    (5, "spark engines here completely different words about"),
+    (6, "one two three four five six seven eight nine ten"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_exact_dedup_groups(docs_df):
+    got = {r["keeper_id"]: r["n_docs"] for r in D.exact_dedup(docs_df).collect()}
+    assert got[1] == 2          # docs 1 and 3 collapse
+    assert sum(got.values()) == 6
+    assert len(got) == 5
+
+
+def test_jaccard_pairs_match_python(docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs_df, threshold=0.01).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 4) >= 0.01:
+            want[(ia, ib)] = round(j, 4)
+    assert got == want
+    assert got[(1, 3)] == 1.0   # exact dup
+    assert got[(1, 2)] > 0.5    # near dup
+
+
+def test_minhash_exact_dups_share_signature(docs_df):
+    sig = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+           for r in D.minhash_signatures(docs_df).collect()}
+    assert sig[1] == sig[3]
+    assert sig[1] != sig[4]
+
+
+def test_minhash_matches_python_reference(docs_df):
+    sig = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
+           for r in D.minhash_signatures(docs_df).collect()}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text)
+        want = [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(8)
+        ]
+        assert sig[doc_id] == want, doc_id
+
+
+def test_lsh_pairs_contain_all_high_jaccard_pairs(docs_df):
+    """LSH candidates ⊇ pairs with jaccard >= ~0.9 (banding guarantee is
+    probabilistic; exact dups are certain — identical signatures)."""
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs_df).collect()}
+    assert (1, 3) in lsh
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs_df, threshold=0.9).collect()
+    }
+    assert exact <= lsh
+
+
+def test_simhash_near_dup_detection(docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs_df).collect()}
+    assert sh[1] == sh[3]  # identical text -> identical fingerprint
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_12 < ham_14  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(docs_df, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 3)) == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = [
+        (i, [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    q = rng[5][1]
+    got = [(r["vec_id"], r["cosine"]) for r in SIM.cosine_topk(df, q, k=10).collect()]
+
+    mat = np.array([v for _, v in rng], dtype=np.float64)
+    qv = np.array(q)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(200), key=lambda i: (-round(cos[i], 4), i))[:10]
+    want = [(i, round(float(cos[i]), 4)) for i in order]
+    assert got == want
+    assert got[0][0] == 5  # self is the top hit
+
+
+def test_ann_lsh_recall(spark):
+    rng = [
+        (i, [((i * 13 + j * 5) % 23 - 11) / 11.0 for j in range(16)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    q = rng[7][1]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()}
+    approx = {r["vec_id"] for r in SIM.ann_lsh_topk(df, q, k=10, n_planes=4).collect()}
+    assert 7 in approx                       # self lands in its own bucket
+    assert len(exact & approx) >= 3          # reasonable recall at 4 planes
+
+
+def test_embedding_neardup_finds_duplicates(spark):
+    base = [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(16) for i in [3]]
+    vecs = [(1, base), (2, base), (3, [v + 0.001 for v in base]),
+            (4, [-v for v in base])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in SIM.embedding_neardup_pairs(df, 0.99).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_multimodal_feature_extraction(spark):
+    media = spark.createDataFrame(
+        [(f"img://{i}", f"payload-{i}".encode()) for i in range(50)],
+        "media_id string, payload binary",
+    )
+    out = MM.extract_features(media).collect()
+    assert len(out) == 50
+    by_id = {r["media_id"]: r for r in out}
+    r0 = by_id["img://0"]
+    assert r0["n_bytes"] == len(b"payload-0")
+    assert 64 <= r0["width"] < 256 and 64 <= r0["height"] < 256
+    assert len(r0["features"]) == MM.FEATURE_DIM
+    # deterministic across runs
+    again = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert again["img://0"]["features"] == r0["features"]
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    media = spark.createDataFrame(
+        [("m1", b"x")], "media_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        MM.extract_features(media, decoder="real").collect()
+
+
+def test_media_spans_payloads(spark, small_corpus):
+    from mr_crawly_spark.datagen import corpus_to_spark
+
+    docs, *_ = corpus_to_spark(spark, small_corpus)
+    payloads = MM.media_spans_to_payloads(docs)
+    n = payloads.count()
+    assert n > 0
+    assert payloads.filter(F.col("payload").isNull()).count() == 0
