@@ -39,8 +39,8 @@ def _host_col(id_col, n_hosts: int):
 def frontier_throughput_job(
     spark: SparkSession,
     n_candidates: int = 2_000_000,
-    n_hosts: int = 1000,
-    per_host_budget: int = 10_000,
+    n_hosts: int = 10_000,
+    per_host_budget: int = 64,
     salt_partitions: int | None = None,
 ) -> dict:
     """One frontier round at synthetic scale; returns timing + counts."""

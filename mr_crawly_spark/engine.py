@@ -108,6 +108,40 @@ class CrawlEngine:
         self._last_metrics: dict = {}
 
     # ------------------------------------------------------------------ #
+    def _write_run_row(self, end: bool) -> None:
+        """Run bookkeeping (S9, data.py:38-60): start row at bootstrap, final
+        row with end_time at completion (insert-then-update emulated as
+        last-writer-wins rows; readers take max(end_time) per run_id)."""
+        import datetime
+
+        first_seed = self.seeds.orderBy("seed_url_id").first()
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        if not end:
+            self._run_started = now
+        row = [(
+            self.cfg.run_id,
+            first_seed["url"] if first_seed else None,
+            getattr(self, "_run_started", now),
+            self.cfg.max_pages,
+            now if end else None,
+        )]
+        self.catalog.commit(
+            "runs", self.spark.createDataFrame(row, S.RUNS), self.round,
+            mode="delta", n_rows=1,
+        )
+
+    def _write_sitemap_index_json(self) -> None:
+        """S10 (manager.py:224-225): sitemap-index url -> child sitemap urls
+        as a JSON side file next to the warehouse manifests. The index map is
+        tiny relative to the crawl (one entry per sitemap-index document)."""
+        import json as _json
+        import os as _os
+
+        rows = self.sitemaps_raw.filter(F.col("is_index")).select("url", "locs").collect()
+        path = _os.path.join(self.cfg.warehouse, "sitemap_indexes.json")
+        with open(path, "w") as f:
+            _json.dump({r["url"]: list(r["locs"]) for r in rows}, f, indent=1)
+
     def bootstrap(self) -> None:
         """Round 0: sitemap expansion -> initial frontier + seen (SURVEY §3.2)."""
         details, fallback = expand_sitemaps(self.seeds, self.sitemaps_raw)
@@ -130,6 +164,8 @@ class CrawlEngine:
         self._frontier = self.catalog.load("frontier", max_round=0)
         self._seen = self.catalog.load("seen", max_round=0)
         self._deltas = {"pages": [], "links": [], "seen": []}
+        self._write_run_row(end=False)
+        self._write_sitemap_index_json()
         self._commit_round(
             {"visited_count": 0, "processed": 0, "pending_count": m["n_rows"]}
         )
@@ -424,6 +460,7 @@ class CrawlEngine:
             history.append(self.run_round())
         if self.round % self.cfg.checkpoint_interval != 0:
             self.flush()  # final state always lands on disk
+        self._write_run_row(end=True)  # complete_run (data.py:52-60)
         return history
 
     # ------------------------------------------------------------------ #

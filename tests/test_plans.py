@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+.explain() — column pruning into the parquet scan, broadcast joins for the
+small sides, whole-stage codegen around the JVM expressions, and no
+row-at-a-time Python UDFs anywhere in the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_token_count_prunes_columns(spark):
+    df = entry_mod.q_token_count(spark, SF_DIR)
+    plan = plan_of(df)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    # only doc_id + text reach the scan — n_chars/lang/source pruned
+    assert "text" in scan[0] and "doc_id" in scan[0]
+    assert "n_chars" not in scan[0] and "lang" not in scan[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from mr_crawly_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(docs.select("doc_id"))
+    assert "PushedFilters" in plan or "pushedFilters" in plan.lower()
+
+
+def test_fetch_left_join_is_broadcast(spark):
+    plan = plan_of(entry_mod.q_fetch_left_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seen_antijoin_shape(spark):
+    plan = plan_of(entry_mod.q_seen_antijoin(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_text_ops_are_pure_jvm(spark):
+    plan = plan_of(entry_mod.q_text_quality(spark, SF_DIR))
+    # higher-order lambdas (filter/aggregate) evaluate JVM-side but outside
+    # codegen; the scan stage is codegen'd (the *(n) markers)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # text ops are pure JVM
+
+
+def test_canonicalizer_is_arrow_not_row_python(spark):
+    """The one Python boundary in the crawl path must be Arrow-vectorized."""
+    from mr_crawly_spark.functions.urls import canonicalize_udf
+
+    df = spark.createDataFrame(
+        [("https://a.test/p/1", "p/2")], "base string, href string"
+    ).select(canonicalize_udf(F.col("base"), F.col("href")).alias("u"))
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_robots_gate_has_no_python(spark, corpus):
+    from mr_crawly_spark import schemas as S
+    from mr_crawly_spark.functions.urls import url_host_col
+    from mr_crawly_spark.operators.politeness import robots_gate
+
+    robots = spark.createDataFrame(
+        [(r["host"], r["rule_order"], r["allow"], r["path_prefix"], r["crawl_delay"])
+         for r in corpus.robots], schema=S.ROBOTS,
+    )
+    cand = spark.createDataFrame(
+        [(d["doc_id"],) for d in corpus.documents[:50]], "url string"
+    ).withColumn("host", url_host_col(F.col("url")))
+    plan = plan_of(robots_gate(cand, robots))
+    assert "Python" not in plan          # join + window matcher, zero UDFs
+    assert "BroadcastHashJoin" in plan   # rules table broadcast
+
+
+def test_minhash_single_shuffle(spark):
+    """MinHash aggregates map-side: exactly one exchange after the explode."""
+    plan = plan_of(entry_mod.q_minhash(spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["events_agg", "status_transition"])
+def test_aggs_have_partial_aggregation(spark, name):
+    plan = plan_of(entry_mod.queries()[name](spark, SF_DIR))
+    assert "partial" in plan.lower()  # map-side combine before the shuffle

@@ -62,6 +62,19 @@ def test_rollback_then_rerun(spark, tiny_corpus):
     assert _final_state(again) == want
 
 
+def test_bloom_engine_equals_exact_engine(spark, tiny_corpus):
+    """use_bloom=True must not change any output (prefilter-only contract
+    end-to-end, not just at the operator level)."""
+    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ex_"))
+    exact.run()
+    bloomed = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_bl_"),
+        use_bloom=True, bloom_buckets=4,
+    )
+    bloomed.run()
+    assert _final_state(bloomed) == _final_state(exact)
+
+
 def test_partition_invariance(spark, tiny_corpus):
     """Same outputs under explicit hot-host salting / different partitioning —
     the determinism-under-parallelism property (SURVEY.md §5.2-5)."""
