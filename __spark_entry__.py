@@ -303,8 +303,32 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH near-dup candidates over a 10% slice + planted exact duplicates
+    (synthetic texts are random, so the planted copies are the known-positive
+    set the banding must recover; pytest asserts the guarantee)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=3)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    return D.minhash_lsh_pairs(
+        docs.unionByName(planted), n_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash banded near-dup pairs over a 10% slice + planted duplicates
+    (hamming 0 for the copies — must all be recovered)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    return D.simhash_neardup_pairs(docs.unionByName(planted), max_hamming=4)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicates via hyperplane-bucket join + planted
+    duplicate vectors (cosine 1.0 for the copies)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    planted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+    return SIM.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.98, n_planes=8
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -347,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen": q_crawl_seen,
         "ann_lsh": q_ann_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -61,6 +61,9 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_buckets: int = 32
     bloom_fpp: float = 0.01
+    # Bloom is sized once for the expected final seen-set cardinality; FPP
+    # degrades (never correctness — it's a prefilter) if the crawl outgrows it
+    bloom_expected_n: int = 1 << 20
     # parquet-snapshot cadence: rounds in between keep state as
     # localCheckpoint()ed in-memory DataFrames (lineage truncated, no disk
     # I/O); resume points exist at flushed rounds only. 1 = flush every
@@ -196,15 +199,48 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------ #
+    def _bloom_sidecar_path(self) -> str:
+        import os
+
+        return os.path.join(self.cfg.warehouse, "seen_bloom")
+
     def _maybe_build_blooms(self, seen: DataFrame) -> None:
-        if not self.cfg.use_bloom:
+        """Build the bucketed Bloom once (full scan of seen), then keep it
+        incrementally updated per round (_bloom_add_delta) — the full build
+        never reruns inside a crawl. On resume the sidecar is reloaded."""
+        if not self.cfg.use_bloom or self._blooms is not None:
             return
-        n = seen.count()
-        m, k = seen_ops.bloom_params(max(n, 1024), self.cfg.bloom_fpp)
+        m, k = seen_ops.bloom_params(self.cfg.bloom_expected_n, self.cfg.bloom_fpp)
+        self._bloom_mk = (m, k)
+        import os
+
+        if os.path.isdir(self._bloom_sidecar_path()):
+            self._blooms = seen_ops.read_bloom_sidecar(
+                self.spark, self._bloom_sidecar_path()
+            )
+            return
         self._blooms = seen_ops.build_bucket_blooms(
             seen, self.cfg.bloom_buckets, m, k
         )
-        self._bloom_mk = (m, k)
+
+    def _bloom_add_delta(self, seen_delta: DataFrame) -> None:
+        """OR the new urls' bitmaps into the cached Bloom (distributed build
+        on the small delta; no driver-side hashing of raw urls)."""
+        if self._blooms is None:
+            return
+        m, k = self._bloom_mk
+        delta = seen_ops.build_bucket_blooms(
+            seen_delta, self.cfg.bloom_buckets, m, k
+        )
+        import numpy as np
+
+        for bucket, bits in delta.items():
+            if bucket in self._blooms:
+                merged = np.frombuffer(self._blooms[bucket], dtype=np.uint8) | \
+                    np.frombuffer(bits, dtype=np.uint8)
+                self._blooms[bucket] = merged.tobytes()
+            else:
+                self._blooms[bucket] = bits
 
     def _outcome_counts(self, df: DataFrame) -> dict:
         """One aggregation job for every per-round metric."""
@@ -378,6 +414,8 @@ class CrawlEngine:
         # partition count stays bounded between flushes
         seen_delta_ck = seen_delta.coalesce(8).localCheckpoint()
         n_new = seen_delta_ck.count()  # cheap: already materialized
+        if self.cfg.use_bloom and n_new:
+            self._bloom_add_delta(seen_delta_ck)
         self._frontier = frontier_next.localCheckpoint()
         self._seen = seen.unionByName(seen_delta_ck)
         self._deltas["seen"].append(seen_delta_ck)
@@ -429,6 +467,11 @@ class CrawlEngine:
                     df = df.unionByName(d)
                 self.catalog.commit(table, df, r, mode="delta")
                 self._deltas[table] = []
+        if self.cfg.use_bloom and self._blooms is not None:
+            # persist the Bloom next to the seen snapshot (resume/scale path)
+            seen_ops.write_bloom_sidecar(
+                self.spark, self._blooms, self._bloom_sidecar_path()
+            )
         # reload state from the flushed parquet: bounds partition counts and
         # drops the accumulated in-memory blocks
         self._frontier = None
