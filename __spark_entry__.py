@@ -408,8 +408,10 @@ def oracle_sql() -> dict[str, str]:
     simhash16_fp = " + ".join(
         f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END)::BIGINT * {2**j}" for j in range(16)
     )
+    # universal-hash minhash: one md5 per shingle, mh_i = min((a+i*b) mod P)
+    mh_p = 2305843009213693951
     minhash_aggs = ", ".join(
-        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8)
+        f"min((a + {i} * b) % {mh_p}) AS mh{i}" for i in range(8)
     )
     return {
         "seen_antijoin": """
@@ -509,10 +511,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash": f"""
             WITH sh AS (
+              -- min() is duplicate-insensitive, so no DISTINCT needed here
               SELECT doc_id, unnest({shingle_list}) AS sh
               FROM (SELECT doc_id, {toks} AS w FROM documents)
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT AS a,
+                     ('0x' || substr(md5(sh), 17, 15))::BIGINT | 1 AS b
+              FROM sh
             )
-            SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id
+            SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id
         """,
         "neardup_jaccard": f"""
             WITH sh AS (

@@ -52,13 +52,22 @@ def canonicalize_url(base: str | None, href: str | None) -> str | None:
 
     Returns None for empty/unsupported (non-http[s]) results — callers filter
     nulls, matching the reference's href-present filter (parser.py:48).
+
+    Hot path of the whole engine (~10^10 calls at crawl scale), so common
+    cases skip work: absolute http(s) hrefs skip urljoin; netlocs without
+    userinfo/port skip the validating hostname/port properties; strings
+    without '%' skip percent-renormalization. Golden pairs in
+    tests/test_urls.py pin equivalence with the straightforward form.
     """
     if href is None:
         return None
     href = href.strip()
     if not href:
         return None
-    absolute = urljoin(base, href) if base else href
+    if href.startswith(("http://", "https://")) or not base:
+        absolute = href
+    else:
+        absolute = urljoin(base, href)
     try:
         parts = urlsplit(absolute)
     except ValueError:
@@ -66,15 +75,28 @@ def canonicalize_url(base: str | None, href: str | None) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = (parts.hostname or "").lower()
+    raw_netloc = parts.netloc
+    if "@" not in raw_netloc and ":" not in raw_netloc:
+        host = raw_netloc.lower()
+        port = None
+    else:
+        try:
+            host = (parts.hostname or "").lower()
+            port = parts.port
+        except ValueError:
+            return None
     if not host:
         return None
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
-    path = _normalize_percent(parts.path) or "/"
-    query = _normalize_percent(parts.query)
+    path = parts.path
+    if "%" in path:
+        path = _normalize_percent(path)
+    path = path or "/"
+    query = parts.query
+    if "%" in query:
+        query = _normalize_percent(query)
     # fragment dropped (urlunsplit with "")
     return urlunsplit((scheme, netloc, path, query, ""))
 

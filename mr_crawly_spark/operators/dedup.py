@@ -32,6 +32,11 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+# 2^61 - 1 (Mersenne prime): (a + i*b) stays < 2^63 for a,b < 2^60, i <= 7,
+# so the universal-hash family needs no overflow handling in either engine
+MINHASH_P = 2305843009213693951
+
+
 def minhash_signatures(
     documents: DataFrame,
     n_hashes: int = 8,
@@ -39,21 +44,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash over word n-gram shingles: mh_i = min(md5(i || ':' || shingle)).
-
-    One explode + one groupBy with n_hashes min() aggregates — map-side
-    combine keeps the shuffle at one row per doc. md5-keyed so the DuckDB
-    oracle reproduces values exactly.
+    """MinHash over word n-gram shingles via a universal hash family:
+    ONE md5 per shingle -> two 60-bit ints (a, b|1) -> mh_i = min((a + i*b)
+    mod P). 8x fewer digest computations than hashing per-permutation, one
+    explode + one groupBy with map-side combine. md5-derived so the DuckDB
+    oracle reproduces values bit-for-bit.
     """
+    assert n_hashes <= 8  # (a + 7b) < 2^63 bound
     sh = documents.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
+    digest = F.md5(F.col("sh"))
+    a = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    hashed = sh.select(F.col(id_col), a.alias("_a"), b.alias("_b"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        F.min(
+            F.pmod(F.col("_a") + F.lit(i) * F.col("_b"), F.lit(MINHASH_P))
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -70,11 +70,15 @@ def test_minhash_matches_python_reference(docs_df):
     sig = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
            for r in D.minhash_signatures(docs_df).collect()}
     for doc_id, text in DOCS:
-        sh = _py_shingles(text)
-        want = [
-            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
-            for i in range(8)
-        ]
+        want = [None] * 8
+        for s in _py_shingles(text):
+            hx = hashlib.md5(s.encode()).hexdigest()
+            a = int(hx[0:15], 16)
+            b = int(hx[16:31], 16) | 1
+            for i in range(8):
+                v = (a + i * b) % D.MINHASH_P
+                if want[i] is None or v < want[i]:
+                    want[i] = v
         assert sig[doc_id] == want, doc_id
 
 
