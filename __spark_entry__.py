@@ -302,6 +302,13 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=20, n_centroids=16, n_probe=4
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH near-dup candidates over a 10% slice + planted exact duplicates
     (synthetic texts are random, so the planted copies are the known-positive
@@ -370,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "crawl_seen": q_crawl_seen,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,

@@ -108,6 +108,68 @@ def ann_lsh_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``_list_id`` = argmax-cosine centroid. All JVM: one dot
+    product per centroid inside a struct array, array_max picks the winner
+    (struct ordering: sim first, then -idx for deterministic ties)."""
+    scored = []
+    for idx, c in enumerate(centroids):
+        pl = F.array(*[F.lit(float(x)) for x in c])
+        cn = math.sqrt(sum(v * v for v in c)) or 1.0
+        sim = _dot(F.col(vec_col), pl) / (F.lit(cn) * _norm(F.col(vec_col)))
+        scored.append(F.struct(sim.alias("sim"), F.lit(-idx).alias("negidx")))
+    best = F.array_max(F.array(*scored))
+    return embeddings.withColumn("_list_id", -best["negidx"])
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the n vectors with the smallest
+    md5(id) act as centroids (a seeded sample — stands in for k-means;
+    the IVF mechanics are identical). Centroid count is small by design,
+    so the collect is a few KB."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign rows to inverted lists, probe only the
+    ``n_probe`` lists nearest the query, exact cosine within them. At scale
+    the assignment is computed once and stored (partition by _list_id), so
+    a query scans ~n_probe/n_centroids of the data."""
+    centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    qv = np.array(query_vec, dtype=np.float64)
+    sims = [
+        float(np.dot(qv, np.array(c)) / ((np.linalg.norm(c) or 1.0) * np.linalg.norm(qv)))
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:n_probe]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.filter(F.col("_list_id").isin(probe)).drop("_list_id")
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -138,6 +138,38 @@ def test_ann_lsh_recall(spark):
     assert len(exact & approx) >= 3          # reasonable recall at 4 planes
 
 
+def test_ann_ivf_recall(spark):
+    rng = [
+        (i, [((i * 13 + j * 5) % 23 - 11) / 11.0 for j in range(16)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    q = rng[7][1]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ann_ivf_topk(df, q, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    assert 7 in approx
+    assert len(exact & approx) >= 3
+    # full probe == exact search (IVF degenerates correctly)
+    full = {
+        r["vec_id"]
+        for r in SIM.ann_ivf_topk(df, q, k=10, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_assignment_is_deterministic(spark):
+    rng = [(i, [((i * 3 + j) % 7 - 3) / 3.0 for j in range(8)]) for i in range(100)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    cents = SIM.ivf_centroids(df, 4)
+    a = {r["vec_id"]: r["_list_id"] for r in SIM.ivf_assign(df, cents).collect()}
+    b = {r["vec_id"]: r["_list_id"] for r in SIM.ivf_assign(df, cents).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(4))
+
+
 def test_embedding_neardup_finds_duplicates(spark):
     base = [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(16) for i in [3]]
     vecs = [(1, base), (2, base), (3, [v + 0.001 for v in base]),
