@@ -46,25 +46,41 @@ def frontier_throughput_job(
     """One frontier round at synthetic scale; returns timing + counts."""
     n_targets = max(n_candidates // 4, 1)
 
+    def href_col(id_col, host):
+        """Six href forms mirroring the corpus generator's mix (relative
+        with dot-segments, root-relative, absolute with default port +
+        fragment, plain absolute, percent-escaped query) — a realistic
+        canonicalizer workload, not the all-worst-case profile."""
+        t = ((id_col * 7 + 1) % n_targets).cast("string")
+        form = id_col % 6
+        return (
+            F.when(form == 0, F.concat(F.lit("../p/"), t))
+            .when(form == 1, F.concat(F.lit("/p/"), t))
+            .when(form == 2, F.concat(F.lit("https://"), host, F.lit(":443/p/"), t, F.lit("#frag")))
+            .when(form == 3, F.concat(F.lit("https://"), host, F.lit("/p/"), t))
+            .when(form == 4, F.concat(F.lit("../p/"), t, F.lit("?x=%7e")))
+            .otherwise(F.concat(F.lit("/p/"), t, F.lit("#s")))
+        )
+
+    def canonical_col(id_col, host):
+        """JVM-side twin of canonicalize_url over the six forms (only form 4
+        keeps a query; ports/fragments/dot-segments all normalize away)."""
+        t = ((id_col * 7 + 1) % n_targets).cast("string")
+        suffix = F.when(id_col % 6 == 4, F.lit("?x=~")).otherwise(F.lit(""))
+        return F.concat(F.lit("https://"), host, F.lit("/p/"), t, suffix)
+
     ids = spark.range(n_candidates)
     cand = ids.select(
         F.concat(
             F.lit("https://"), _host_col(F.col("id"), n_hosts),
             F.lit("/p/"), F.col("id").cast("string"),
         ).alias("base"),
-        F.concat(
-            F.lit("../p/"), ((F.col("id") * 7 + 1) % n_targets).cast("string"),
-            F.lit("?x=%7e#frag"),
-        ).alias("href"),
+        href_col(F.col("id"), _host_col(F.col("id"), n_hosts)).alias("href"),
         F.col("id"),
     )
     # seen = canonical forms of the first half's targets, built JVM-side
     seen = spark.range(n_candidates // 2).select(
-        F.concat(
-            F.lit("https://"), _host_col(F.col("id"), n_hosts),
-            F.lit("/p/"), ((F.col("id") * 7 + 1) % n_targets).cast("string"),
-            F.lit("?x=~"),
-        ).alias("url")
+        canonical_col(F.col("id"), _host_col(F.col("id"), n_hosts)).alias("url")
     ).withColumn("url_hash", url_hash_col(F.col("url"))).persist()
     seen.count()  # materialize outside the timed section
 

@@ -53,10 +53,13 @@ def _norm(v):
 
 
 def _rows(colnames, records):
+    """Order-insensitive multiset of column-name-sorted, normalized rows
+    (Counter instead of sort: rows may contain None alongside ints/strs,
+    which python3 refuses to order)."""
+    from collections import Counter
+
     idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(
-        tuple(_norm(rec[i]) for i in idx) for rec in records
-    )
+    return Counter(tuple(_norm(rec[i]) for i in idx) for rec in records)
 
 
 def test_oracle_keys_subset_of_queries():
@@ -74,13 +77,13 @@ def test_query_matches_duckdb(spark, ddb, name):
     d_rows = _rows(d_cols, res.fetchall())
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs duckdb {len(d_rows)}"
+    assert sum(s_rows.values()) == sum(d_rows.values()), (
+        f"{name}: row count {sum(s_rows.values())} vs duckdb {sum(d_rows.values())}"
     )
-    mismatches = [
-        (a, b) for a, b in zip(s_rows, d_rows) if a != b
-    ]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    if s_rows != d_rows:
+        only_s = list((s_rows - d_rows).keys())[:3]
+        only_d = list((d_rows - s_rows).keys())[:3]
+        raise AssertionError(f"{name}: spark-only {only_s} duckdb-only {only_d}")
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
