@@ -53,9 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # crawl-shaped queries on the TPC-H-ish tables (operator ids from SURVEY §2)
 
 def q_seen_antijoin(spark, sf_dir):
-    """D2/J3: seen-set membership as LEFT ANTI join."""
+    """D2/J3: seen-set membership as LEFT ANTI join. The seen side is the
+    orders of every third customer, so the survivor set is non-empty at any
+    sf (round 1's all-customers seen side matched vacuously on 0 rows)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0)
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -218,10 +220,13 @@ def q_minhash(spark, sf_dir):
 
 
 def q_neardup_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs on a deterministic 10% slice (the full
-    all-shared-shingle join is reserved for LSH candidates at scale)."""
+    """Exact 3-gram Jaccard pairs on a deterministic 10% slice + planted
+    exact duplicates (doc_id + 10^9), so the known-positive pairs make the
+    check non-vacuous (round 1 matched on 0 rows). The full
+    all-shared-shingle join is reserved for LSH candidates at scale."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return D.jaccard_pairs(docs, threshold=0.05, shingle_n=3)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    return D.jaccard_pairs(docs.unionByName(planted), threshold=0.05, shingle_n=3)
 
 
 def q_simhash16(spark, sf_dir):
@@ -322,10 +327,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
-    (hamming 0 for the copies — must all be recovered)."""
+    (hamming 0 for the copies — must all be recovered). hamming cast bigint
+    to pin the driver compare dtype (DuckDB bit_count is narrow)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
-    return D.simhash_neardup_pairs(docs.unionByName(planted), max_hamming=4)
+    pairs = D.simhash_neardup_pairs(docs.unionByName(planted), max_hamming=4)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -340,13 +347,30 @@ def q_embed_neardup(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-column media pipeline: deterministic payloads -> Arrow-batched
-    mapInPandas feature extraction (decode step stubbed, plumbing real)."""
+    mapInPandas feature extraction (decode step stubbed, plumbing real).
+
+    The features array<float> is projected to scalar f0..f7 columns (the
+    driver's pandas canonicalizer can't hash lists — round-1 harness error);
+    features[i]*255 recovers the source digest byte exactly, so the values
+    are integer-stable across float32/double."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at(F.col("features"), i + 1) * 255)
+            .cast("bigint")
+            .alias(f"f{i}")
+            for i in range(MM.FEATURE_DIM)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -374,7 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "cosine_topk": q_cosine_topk,
         "embed_norm": q_embed_norm,
-        # rows-only (no SQL equivalent)
+        # rows-only below: only the crawl engine itself has no SQL twin
+        # (its oracle is the sequential python crawler in tests/)
         "crawl_seen": q_crawl_seen,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -421,10 +446,59 @@ def oracle_sql() -> dict[str, str]:
     minhash_aggs = ", ".join(
         f"min((a + {i} * b) % {mh_p}) AS mh{i}" for i in range(8)
     )
+
+    # ---- banded-LSH / ANN oracles (round 2): every hash is md5-derived and
+    # every float path is sequential double accumulation on both engines, so
+    # the banded joins are reproducible in DuckDB bit-for-bit ------------- #
+    sim60_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sim60_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END)::BIGINT * {2**j}" for j in range(60)
+    )
+    lsh_docs2 = """
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+    """
+    band_keys = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS key FROM sig"
+        for b in range(4)
+    )
+
+    def plane_lit(plane: list[float]) -> str:
+        # %e literals parse as DOUBLE in DuckDB (plain decimals parse as
+        # DECIMAL and would not round-trip the hyperplane constants)
+        return "[" + ", ".join(f"{v:.17e}" for v in plane) + "]"
+
+    def bucket_expr(col: str, planes: list[list[float]]) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {plane_lit(p)}) >= 0"
+            f" THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        return f"({terms})"
+
+    # testdata embeddings are 64-dim at every sf (TESTDATA.md); the Spark
+    # side derives dim from the data and produces these same planes
+    planes8 = SIM.deterministic_hyperplanes(64, 8)
+    planes6 = SIM.deterministic_hyperplanes(64, 6)
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    mm_feats = ", ".join(
+        f"('0x' || substr(d, {2 * i + 1}, 2))::BIGINT AS f{i}" for i in range(8)
+    )
     return {
         "seen_antijoin": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_custkey % 3 = 0)
         """,
         "host_window_topk": """
             SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
@@ -532,9 +606,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id
         """,
         "neardup_jaccard": f"""
-            WITH sh AS (
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            sh AS (
               SELECT DISTINCT doc_id, unnest({shingle_list}) AS sh
-              FROM (SELECT doc_id, {toks} AS w FROM documents WHERE doc_id % 10 = 0)
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             common AS (
@@ -571,5 +651,123 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                         x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
             FROM embeddings
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH docs2 AS ({lsh_docs2}),
+            sh AS (
+              SELECT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT AS a,
+                     ('0x' || substr(md5(sh), 17, 15))::BIGINT | 1 AS b
+              FROM sh
+            ),
+            sig AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
+            banded AS (
+              {band_keys}
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "simhash_neardup": f"""
+            WITH docs2 AS ({lsh_docs2}),
+            words AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest({toks})), 1, 15))::BIGINT AS h
+              FROM docs2
+            ),
+            sums AS (SELECT doc_id, {sim60_sums} FROM words GROUP BY doc_id),
+            sh AS (SELECT doc_id, {sim60_fp} AS simhash FROM sums),
+            banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (band * 15)) & 32767 AS key
+              FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "embed_neardup": f"""
+            WITH emb2 AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+              UNION ALL
+              SELECT vec_id + 1000000000 AS vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            b AS (SELECT vec_id, v, {bucket_expr("v", planes8)} AS bucket FROM emb2)
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                   {cos.format(a="l.v", b="r.v")} AS cosine
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE {cos.format(a="l.v", b="r.v")} >= 0.98
+        """,
+        "ann_lsh": f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+            qb AS (SELECT {bucket_expr("qv", planes6)} AS qbits FROM q)
+            -- multiprobe: the query bucket plus every 1-bit-flip neighbor
+            SELECT vec_id, {cos.format(a="v", b="qv")} AS cosine
+            FROM emb, q, qb
+            WHERE {bucket_expr("v", planes6)} IN
+                  (qbits, {", ".join(f"xor(qbits, {1 << p})" for p in range(6))})
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "ann_ivf": f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                       AS idx, v
+              FROM (SELECT vec_id, v FROM emb
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)
+            ),
+            probe AS (
+              SELECT idx FROM cent, q
+              ORDER BY list_dot_product(cent.v, qv)
+                       / (sqrt(list_dot_product(cent.v, cent.v))
+                          * sqrt(list_dot_product(qv, qv))) DESC, idx ASC
+              LIMIT 4
+            ),
+            assigned AS (
+              SELECT vec_id, v FROM (
+                SELECT e.vec_id, e.v, c.idx,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.v)
+                                  / (sqrt(list_dot_product(c.v, c.v))
+                                     * sqrt(list_dot_product(e.v, e.v))) DESC,
+                                  c.idx ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN cent c
+              ) WHERE rn = 1 AND idx IN (SELECT idx FROM probe)
+            )
+            SELECT vec_id, {cos.format(a="v", b="qv")} AS cosine
+            FROM assigned, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "multimodal_features": f"""
+            WITH m AS (
+              SELECT 'img://' || doc_id::VARCHAR AS media_id,
+                     md5(text) AS d,
+                     strlen(text)::BIGINT AS n_bytes
+              FROM documents
+            )
+            SELECT media_id, n_bytes,
+                   (64 + ('0x' || substr(d, 1, 2))::INT % 192)::INTEGER AS width,
+                   (64 + ('0x' || substr(d, 3, 2))::INT % 192)::INTEGER AS height,
+                   {mm_feats}
+            FROM m
         """,
     }

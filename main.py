@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--base-pages", type=int, default=40)
     p.add_argument("--hot-factor", type=int, default=6)
     p.add_argument("--seeds", type=int, default=None, help="number of seed hosts")
+    p.add_argument("--seeds-file", default=None,
+                   help="external seed list: url-per-line .txt, the "
+                        "reference's seed_urls sqlite .db, or parquet "
+                        "(overrides --seeds)")
+    p.add_argument("--config", default=None, help="TOML config ([crawl]/[logging])")
+    p.add_argument("--log-level", default=None)
     p.add_argument("--max-pages", type=int, default=10**9)
     p.add_argument("--max-rounds", type=int, default=100)
     p.add_argument("--warehouse", required=True)
@@ -39,26 +45,50 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from mr_crawly_spark.config import (
+        config_from_toml,
+        logging_level_from_toml,
+        setup_logging,
+    )
+
     args = build_parser().parse_args(argv)
+    level = args.log_level or (
+        logging_level_from_toml(args.config) if args.config else "INFO"
+    )
+    setup_logging(level)
     spark = get_spark(master=args.master)
     corpus = generate_corpus(
         n_hosts=args.hosts, base_pages=args.base_pages,
         hot_factor=args.hot_factor, n_seeds=args.seeds,
     )
     docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    if args.seeds_file:
+        from mr_crawly_spark.sources.seeds import load_seeds
+
+        seeds = load_seeds(spark, args.seeds_file)
     fetcher = (
         CorpusFetcher(spark, path=args.corpus_path)
         if args.corpus_path
         else CorpusFetcher(spark, documents=docs)
     )
-    engine = CrawlEngine(
-        spark, fetcher, robots, sitemaps, seeds,
-        CrawlConfig(
+    # only explicitly-set CLI flags override the TOML (argparse defaults
+    # would otherwise silently clobber the config file)
+    overrides = dict(
+        max_pages=args.max_pages if args.max_pages != 10**9 else None,
+        max_rounds=args.max_rounds if args.max_rounds != 100 else None,
+        salt_partitions=args.salt_partitions,
+        use_bloom=args.use_bloom or None,
+    )
+    cfg = (
+        config_from_toml(args.config, args.warehouse, **overrides)
+        if args.config
+        else CrawlConfig(
             warehouse=args.warehouse, max_pages=args.max_pages,
             max_rounds=args.max_rounds, salt_partitions=args.salt_partitions,
             use_bloom=args.use_bloom,
-        ),
+        )
     )
+    engine = CrawlEngine(spark, fetcher, robots, sitemaps, seeds, cfg)
     history = engine.run(fresh=not args.resume)
     print(json.dumps({
         "rounds": engine.round,

@@ -42,8 +42,17 @@ def frontier_throughput_job(
     n_hosts: int = 10_000,
     per_host_budget: int = 64,
     salt_partitions: int | None = None,
+    n_input_partitions: int | None = None,
 ) -> dict:
-    """One frontier round at synthetic scale; returns timing + counts."""
+    """One frontier round at synthetic scale; returns timing + counts.
+
+    ``n_input_partitions`` pins the input split count independently of core
+    count — REQUIRED for N-vs-4N scaling runs: a real cluster's partition
+    count is set by the data (files / maxPartitionBytes), not by executors,
+    so comparing local[2] (2 giant splits, per-task overhead amortized) with
+    local[8] (8 small splits) conflates partition-size effects with
+    parallelism. Fixed splits = pure parallelism measurement.
+    """
     n_targets = max(n_candidates // 4, 1)
 
     def href_col(id_col, host):
@@ -69,7 +78,11 @@ def frontier_throughput_job(
         suffix = F.when(id_col % 6 == 4, F.lit("?x=~")).otherwise(F.lit(""))
         return F.concat(F.lit("https://"), host, F.lit("/p/"), t, suffix)
 
-    ids = spark.range(n_candidates)
+    ids = (
+        spark.range(n_candidates, numPartitions=n_input_partitions)
+        if n_input_partitions
+        else spark.range(n_candidates)
+    )
     cand = ids.select(
         F.concat(
             F.lit("https://"), _host_col(F.col("id"), n_hosts),
@@ -79,7 +92,12 @@ def frontier_throughput_job(
         F.col("id"),
     )
     # seen = canonical forms of the first half's targets, built JVM-side
-    seen = spark.range(n_candidates // 2).select(
+    seen_ids = (
+        spark.range(n_candidates // 2, numPartitions=n_input_partitions)
+        if n_input_partitions
+        else spark.range(n_candidates // 2)
+    )
+    seen = seen_ids.select(
         canonical_col(F.col("id"), _host_col(F.col("id"), n_hosts)).alias("url")
     ).withColumn("url_hash", url_hash_col(F.col("url"))).persist()
     seen.count()  # materialize outside the timed section

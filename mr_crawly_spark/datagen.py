@@ -66,10 +66,15 @@ class Corpus:
         return {d["doc_id"] for d in self.documents}
 
     def crawl_delay(self, host: str) -> float:
-        for r in self.robots:
-            if r["host"] == host and r["crawl_delay"] is not None:
-                return r["crawl_delay"]
-        return DEFAULT_CRAWL_DELAY
+        """Pinned aggregation rule: MAX over the host's non-null delays —
+        the same rule as operators/politeness.py:host_budgets, so engine and
+        oracle agree even if a host's rows ever carry mixed delays."""
+        delays = [
+            r["crawl_delay"]
+            for r in self.robots
+            if r["host"] == host and r["crawl_delay"] is not None
+        ]
+        return max(delays) if delays else DEFAULT_CRAWL_DELAY
 
     def robots_disallows(self, host: str) -> list[str]:
         return [

@@ -75,8 +75,16 @@ def new_frontier_entries(
     fresh_urls: DataFrame, round_: int, run_id: str
 ) -> DataFrame:
     """Frontier rows for newly discovered canonical URLs (D6 merge input).
-    fresh_urls: DataFrame with ``url`` (+ optional ``priority``), already
-    unseen."""
+    fresh_urls: DataFrame with ``url`` (+ optional ``priority``,
+    ``change_freq``, ``last_modified`` — the sitemap recrawl metadata,
+    reference site_mapper.py:94-98), already unseen."""
+
+    def opt(name: str):
+        return (
+            F.col(name) if name in fresh_urls.columns
+            else F.lit(None).cast("string")
+        )
+
     pri = (
         F.col("priority")
         if "priority" in fresh_urls.columns
@@ -88,12 +96,60 @@ def new_frontier_entries(
         url_host_col(F.col("url")).alias("host"),
         F.lit("pending").alias("status"),
         pri.cast("double").alias("priority"),
-        F.lit(None).cast("string").alias("change_freq"),
-        F.lit(None).cast("string").alias("last_modified"),
+        opt("change_freq").alias("change_freq"),
+        opt("last_modified").alias("last_modified"),
         F.lit(0).alias("retry_count"),
         F.lit(0.0).alias("next_attempt_at"),
         F.lit(round_).alias("discovered_round"),
         F.lit(run_id).alias("run_id"),
+    )
+
+
+# sitemaps.org changefreq values -> logical seconds (recrawl scheduling).
+# The reference stores changefreq/lastmod per sitemap record
+# (site_mapper.py:94-98, data.py:178-196) but never schedules off them; we
+# persist them on frontier rows (parity) AND expose this scheduler so a
+# long-running deployment can re-enqueue fetched pages when they go stale.
+CHANGE_FREQ_SECONDS = {
+    "always": 0.0,
+    "hourly": 3600.0,
+    "daily": 86400.0,
+    "weekly": 604800.0,
+    "monthly": 2592000.0,
+    "yearly": 31536000.0,
+}
+
+
+def recrawl_schedule(frontier: DataFrame, t_now: float) -> DataFrame:
+    """Re-enqueue fetched rows whose change_freq interval has elapsed.
+
+    A ``fetched`` row with change_freq becomes ``pending`` again with
+    next_attempt_at = t_now + interval; rows without metadata never recrawl
+    (matching the reference, which only stores the fields). Pure column
+    rewrite — no shuffle, safe at any frontier size.
+    """
+    freq_s = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in CHANGE_FREQ_SECONDS.items() for x in kv]
+        ),
+        F.col("change_freq"),
+    )
+    due = (
+        (F.col("status") == "fetched")
+        & F.col("change_freq").isNotNull()
+        & freq_s.isNotNull()
+    )
+    return (
+        frontier.withColumn(
+            "next_attempt_at",
+            F.when(due, F.lit(t_now) + freq_s).otherwise(F.col("next_attempt_at")),
+        )
+        .withColumn(
+            "status", F.when(due, F.lit("pending")).otherwise(F.col("status"))
+        )
+        .withColumn(
+            "retry_count", F.when(due, F.lit(0)).otherwise(F.col("retry_count"))
+        )
     )
 
 

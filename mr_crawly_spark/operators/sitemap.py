@@ -94,11 +94,36 @@ def expand_sitemaps(
 
 def bootstrap_frontier_urls(details: DataFrame, fallback: DataFrame) -> DataFrame:
     """(url, priority) rows to seed the frontier: max-priority per loc plus
-    the sitemap-less seed fallbacks at DEFAULT_PRIORITY."""
-    from_sitemaps = details.groupBy(F.col("loc").alias("url")).agg(
-        F.max("priority").alias("priority")
+    the sitemap-less seed fallbacks at DEFAULT_PRIORITY.
+
+    Collision rules (pinned, matching oracle/crawler.py bootstrap order:
+    sitemap locs enqueue first): a fallback seed that also appears as a
+    sitemap loc keeps the SITEMAP priority — anti-join, not arbitrary
+    dropDuplicates, so the result is deterministic. When several sitemap
+    records announce the same loc, the winner is max(priority, frequency,
+    modified) as a struct (order-free; null fields sort smallest) and its
+    recrawl metadata rides along (O2, site_mapper.py:94-98)."""
+    best = F.max(
+        F.struct(
+            F.col("priority"),
+            F.coalesce(F.col("frequency"), F.lit("")).alias("frequency"),
+            F.coalesce(F.col("modified"), F.lit("")).alias("modified"),
+        )
+    ).alias("best")
+    from_sitemaps = (
+        details.groupBy(F.col("loc").alias("url"))
+        .agg(best)
+        .select(
+            "url",
+            F.col("best.priority").alias("priority"),
+            F.nullif(F.col("best.frequency"), F.lit("")).alias("change_freq"),
+            F.nullif(F.col("best.modified"), F.lit("")).alias("last_modified"),
+        )
     )
     from_fallback = fallback.select(
-        "url", F.lit(DEFAULT_PRIORITY).alias("priority")
-    )
+        "url",
+        F.lit(DEFAULT_PRIORITY).alias("priority"),
+        F.lit(None).cast("string").alias("change_freq"),
+        F.lit(None).cast("string").alias("last_modified"),
+    ).join(from_sitemaps.select("url"), "url", "left_anti")
     return from_sitemaps.unionByName(from_fallback).dropDuplicates(["url"])

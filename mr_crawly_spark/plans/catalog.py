@@ -28,7 +28,8 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class SnapshotCatalog:
@@ -109,6 +110,73 @@ class SnapshotCatalog:
         with open(self._manifest_path(table, version), "w") as f:
             json.dump(manifest, f, indent=1)
         return manifest
+
+    def _manifests(self, table: str, max_round: int | None = None) -> list[dict]:
+        """All manifests for a table up to max_round, in version order."""
+        tdir = os.path.join(self.warehouse, table)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.startswith("manifest-"):
+                continue
+            with open(os.path.join(tdir, fn)) as f:
+                m = json.load(f)
+            if max_round is not None and m["round"] > max_round:
+                continue
+            out.append(m)
+        out.sort(key=lambda m: m["snapshot_id"])
+        return out
+
+    def load_merge(
+        self, table: str, key_cols: tuple[str, ...], max_round: int | None = None
+    ) -> DataFrame | None:
+        """Merge-on-read for mutable tables (frontier, sitemaps): latest
+        snapshot = base, later delta commits apply LAST-WRITER-WINS per key.
+
+        This is the 100-TB shape for per-round status updates: a round
+        commits only its touched rows (KBs) instead of rewriting a 10^10-row
+        snapshot; the full rewrite cost is paid only at compaction
+        (engine.flush every ``compact_every`` flushes). Each delta commit
+        must be key-unique (the engine folds a round's updates before
+        committing); across commits the higher snapshot_id wins.
+        """
+        manifests = self._manifests(table, max_round)
+        if not manifests:
+            return None
+        snaps = [m for m in manifests if m["kind"] == "snapshot"]
+        base_m = snaps[-1] if snaps else None
+        base_v = base_m["snapshot_id"] if base_m else -1
+        deltas = [
+            m for m in manifests
+            if m["kind"] == "delta" and m["snapshot_id"] > base_v and m["n_rows"] > 0
+        ]
+        base = self.spark.read.parquet(base_m["data_dir"]) if base_m else None
+        if not deltas:
+            if base is not None:
+                return base
+            # schema-only: every delta empty
+            return self.spark.read.parquet(manifests[-1]["data_dir"])
+        parts = [
+            self.spark.read.parquet(m["data_dir"]).withColumn(
+                "_v", F.lit(m["snapshot_id"])
+            )
+            for m in deltas
+        ]
+        dd = parts[0]
+        for p in parts[1:]:
+            dd = dd.unionByName(p)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
+        latest = (
+            dd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+        if base is None:
+            return latest
+        return base.join(
+            latest.select(*key_cols), list(key_cols), "left_anti"
+        ).unionByName(latest)
 
     def latest_manifest(self, table: str, max_round: int | None = None) -> dict | None:
         tdir = os.path.join(self.warehouse, table)
@@ -192,3 +260,22 @@ class SnapshotCatalog:
 
     def destroy(self) -> None:
         shutil.rmtree(self.warehouse, ignore_errors=True)
+
+    def is_empty(self) -> bool:
+        """True when no table commit or round manifest exists yet."""
+        if self.last_round() is not None:
+            return False
+        for entry in os.listdir(self.warehouse):
+            tdir = os.path.join(self.warehouse, entry)
+            if entry.startswith("_") or not os.path.isdir(tdir):
+                continue
+            if any(f.startswith("manifest-") for f in os.listdir(tdir)):
+                return False
+        return True
+
+    def reset(self) -> None:
+        """Clear the warehouse for a fresh bootstrap (re-running on a used
+        --warehouse without --resume must not merge the old run's deltas
+        into the new crawl)."""
+        self.destroy()
+        os.makedirs(os.path.join(self.warehouse, "_rounds"), exist_ok=True)

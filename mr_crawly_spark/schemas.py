@@ -72,6 +72,10 @@ PAGES = StructType(
         StructField("url_hash", LongType()),
         StructField("host", StringType()),
         StructField("fetch_status", IntegerType()),
+        # fetched content (the url_html.content BLOB, data.py:70-86): the
+        # full span payload for 200s, null for 404s — the page-cache read
+        # path (S4/J2) re-serves these without refetching
+        StructField("spans", ArrayType(SPAN)),
         StructField("n_spans", IntegerType()),
         StructField("round", IntegerType()),
         # slice metadata kept so the deterministic global crawl order

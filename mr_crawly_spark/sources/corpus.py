@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from mr_crawly_spark import schemas as S
 
 N_BUCKETS = 64
+# above this many slice rows we stop FORCING a broadcast and let AQE pick the
+# physical join from runtime sizes (a 10^7-hosts round could put ~10^8 rows in
+# the slice — force-broadcasting that OOMs the driver; round-1 verdict #3)
+BROADCAST_ROW_LIMIT = 1_000_000
 
 
 def write_bucketed_corpus(documents: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
@@ -54,9 +58,17 @@ class CorpusFetcher:
         # join; parquet corpora use the scale path (prune + inner + anti)
         self.broadcastable = documents is not None and not self.bucketed
 
-    def fetch(self, slice_df: DataFrame) -> DataFrame:
+    def fetch(self, slice_df: DataFrame, approx_rows: int | None = None) -> DataFrame:
         """slice columns + ``spans`` (null => miss/404). Slice must carry
-        url + url_hash."""
+        url + url_hash.
+
+        ``approx_rows``: caller's cheap upper bound on the slice size (the
+        engine passes its driver-tracked pending count). The broadcast hint
+        is only FORCED when that bound fits BROADCAST_ROW_LIMIT; otherwise
+        the plan is left to AQE, which converts to broadcast at runtime iff
+        the actual built side is small — never an unconditional 10^8-row
+        broadcast (round-1 verdict #3).
+        """
         corp = self.df.select(F.col("doc_id").alias("url"), "spans", *(
             ["bucket"] if self.bucketed else []
         ))
@@ -72,9 +84,14 @@ class CorpusFetcher:
                 .collect()
             ]
             corp = corp.filter(F.col("bucket").isin(buckets)).drop("bucket")
-        # found: stream the (pruned) corpus, broadcast-build the slice
-        found = corp.join(F.broadcast(slice_df), "url", "inner")
+        force_bcast = approx_rows is not None and approx_rows <= BROADCAST_ROW_LIMIT
+        built = F.broadcast(slice_df) if force_bcast else slice_df
+        # found: stream the (pruned) corpus, build side = the slice
+        found = corp.join(built, "url", "inner")
+        found_urls = found.select("url")
         missed = slice_df.join(
-            F.broadcast(found.select("url")), "url", "left_anti"
+            F.broadcast(found_urls) if force_bcast else found_urls,
+            "url",
+            "left_anti",
         ).withColumn("spans", F.lit(None).cast(S.DOCUMENTS["spans"].dataType))
         return found.unionByName(missed.select(*found.columns))

@@ -44,12 +44,18 @@ from mr_crawly_spark.functions.urls import canonicalize_url
 
 
 def url_host(url: str) -> str:
-    return url.split("://", 1)[1].split("/", 1)[0].lower()
+    """Host component — port stripped, matching the engine's
+    ``parse_url(url, 'HOST')`` (functions/urls.py:url_host_col)."""
+    netloc = url.split("://", 1)[1].split("/", 1)[0]
+    return netloc.rsplit(":", 1)[0].lower() if ":" in netloc else netloc.lower()
 
 
 def url_path(url: str) -> str:
+    """Path component — query stripped, matching the engine's
+    ``parse_url(url, 'PATH')`` (functions/urls.py:url_path_col)."""
     rest = url.split("://", 1)[1]
-    return "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    return path.split("?", 1)[0]
 
 
 @dataclass
@@ -61,6 +67,10 @@ class Entry:
     status: str = "pending"
     retry_count: int = 0
     next_attempt_at: float = 0.0
+    # sitemap recrawl metadata (O2, site_mapper.py:94-98): carried on the
+    # frontier entry; None for link-discovered / fallback urls
+    change_freq: str | None = None
+    last_modified: str | None = None
 
 
 @dataclass
@@ -99,12 +109,21 @@ class OracleCrawler:
                 return bool(r["allow"])
         return True
 
-    def _enqueue(self, url: str, priority: float, round_: int) -> None:
+    def _enqueue(
+        self,
+        url: str,
+        priority: float,
+        round_: int,
+        change_freq: str | None = None,
+        last_modified: str | None = None,
+    ) -> None:
         if url in self.res.seen:
             return
         self.res.seen.add(url)
         self.res.frontier[url] = Entry(
-            url=url, host=url_host(url), priority=priority, discovered_round=round_
+            url=url, host=url_host(url), priority=priority,
+            discovered_round=round_, change_freq=change_freq,
+            last_modified=last_modified,
         )
 
     # --- bootstrap: sitemap expansion (site_mapper.py:69-135) --------------
@@ -146,11 +165,19 @@ class OracleCrawler:
                          "priority": pri, "frequency": sm["first_changefreq"],
                          "modified": sm["first_lastmod"], "status": "mapped"}
                     )
-        best: dict[str, float] = {}
+        # pinned dedup rule shared with operators/sitemap.py: the winning
+        # record is max(priority, frequency, modified) as a tuple with None
+        # sorting smallest (empty-string sentinel); its recrawl metadata
+        # rides along onto the frontier entry (O2)
+        best: dict[str, tuple] = {}
         for d in self.res.sitemap_details:
-            best[d["loc"]] = max(best.get(d["loc"], -1.0), d["priority"])
+            key = (d["priority"], d["frequency"] or "", d["modified"] or "")
+            if d["loc"] not in best or key > best[d["loc"]]:
+                best[d["loc"]] = key
         for loc in sorted(best):
-            self._enqueue(loc, best[loc], 0)
+            pri, freq, mod = best[loc]
+            self._enqueue(loc, pri, 0, change_freq=freq or None,
+                          last_modified=mod or None)
         for seed_url in fallbacks:
             self._enqueue(seed_url, DEFAULT_PRIORITY, 0)
 

@@ -32,10 +32,17 @@ from mr_crawly_spark.session import get_spark
 from mr_crawly_spark.bench_jobs import frontier_throughput_job
 
 cpus, n, repeats = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+# Partitioning is pinned IDENTICALLY at both levels (32 input splits, 32
+# shuffle partitions): on a real cluster the split count comes from the data
+# layout, not the executor count, so the only variable N -> 4N may change is
+# task concurrency. Core-proportional partitioning would let local[2] amortize
+# per-task overhead over 4x-bigger partitions and understate scaling.
+PARTS = 32
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(8, cpus))
+                  shuffle_partitions=PARTS)
 spark.sparkContext.setLogLevel("ERROR")
-kw = dict(n_hosts=10000, per_host_budget=64, salt_partitions=max(8, cpus))
+kw = dict(n_hosts=10000, per_host_budget=64, salt_partitions=PARTS,
+          n_input_partitions=PARTS)
 # full-size warmup: whole-stage codegen JIT, Arrow buffers, shuffle dirs —
 # first runs are measurably slower (C2 compilation) and would skew the gate
 frontier_throughput_job(spark, n_candidates=n, **kw)

@@ -160,6 +160,29 @@ def test_ann_ivf_recall(spark):
     assert full == exact
 
 
+def test_ivf_indexed_equals_oneshot(spark):
+    """The build-once index path (the scale workflow: assign once, persist
+    partitioned by _list_id, query many) returns exactly what the one-shot
+    helper returns for every query."""
+    rng = [
+        (i, [((i * 13 + j * 5) % 23 - 11) / 11.0 for j in range(16)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    assigned, centroids = SIM.ivf_index(df, n_centroids=8)
+    assigned = assigned.repartition(4, "_list_id").persist()
+    try:
+        for qid in (7, 123):
+            q = rng[qid][1]
+            got = SIM.ann_ivf_topk_indexed(
+                assigned, centroids, q, k=10, n_probe=3
+            ).collect()
+            want = SIM.ann_ivf_topk(df, q, k=10, n_centroids=8, n_probe=3).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        assigned.unpersist()
+
+
 def test_ivf_assignment_is_deterministic(spark):
     rng = [(i, [((i * 3 + j) % 7 - 3) / 3.0 for j in range(8)]) for i in range(100)]
     df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")

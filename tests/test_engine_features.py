@@ -1,0 +1,241 @@
+"""Round-2 engine surface: content persistence (S5/S6), page-cache read
+(S4/J2), recrawl metadata + scheduling (O2), warehouse hygiene, sitemap
+upsert view (S8), seed-list ingestion, TOML config."""
+
+from __future__ import annotations
+
+import sqlite3
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_crawly_spark import schemas as S
+from mr_crawly_spark.datagen import corpus_to_spark
+from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+from mr_crawly_spark.operators.frontier import recrawl_schedule
+from mr_crawly_spark.sources.corpus import CorpusFetcher
+from oracle.crawler import OracleCrawler
+
+
+def _engine(spark, corpus, wh=None, fetcher=None, **kw):
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    return CrawlEngine(
+        spark,
+        fetcher or CorpusFetcher(spark, documents=docs),
+        robots, sitemaps, seeds,
+        CrawlConfig(warehouse=wh or tempfile.mkdtemp(prefix="crawl_fx_"), **kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tiny_corpus):
+    eng = _engine(spark, tiny_corpus)
+    eng.run()
+    oracle = OracleCrawler(tiny_corpus).run()
+    return eng, oracle
+
+
+# --------------------------------------------------------------------- #
+# S5/S6: the pages table archives the fetched content (url_html BLOB,
+# reference data.py:70-86), not just a span count
+def test_pages_store_full_content(crawled):
+    eng, oracle = crawled
+    rows = eng.table("pages").filter(F.col("fetch_status") == 200).collect()
+    got = {
+        r["url"]: [
+            (s["offset"], s["kind"], s["text"], s["media_ref"])
+            for s in sorted(r["spans"], key=lambda s: s["offset"])
+        ]
+        for r in rows
+    }
+    assert got == oracle.spans
+    # 404s archive no content
+    nulls = eng.table("pages").filter(F.col("fetch_status") == 404)
+    assert nulls.filter(F.col("spans").isNotNull()).count() == 0
+
+
+# O2: sitemap changefreq/lastmod ride the frontier rows end-to-end
+def test_frontier_carries_recrawl_metadata(crawled):
+    eng, oracle = crawled
+    got = {
+        r["url"]: (r["change_freq"], r["last_modified"])
+        for r in eng.table("frontier").collect()
+    }
+    want = {
+        e.url: (e.change_freq, e.last_modified)
+        for e in oracle.frontier.values()
+    }
+    assert got == want
+    assert any(cf is not None for cf, _ in got.values())  # actually populated
+
+
+# S4/J2 + O2 scheduling: recrawl is served from the page cache, never the
+# network — proven by re-crawling against an EMPTY corpus (any real refetch
+# would 404) and checking content equality
+def test_recrawl_served_from_page_cache(spark, tiny_corpus):
+    wh = tempfile.mkdtemp(prefix="crawl_rc_")
+    eng = _engine(spark, tiny_corpus, wh=wh)
+    eng.run()
+    pages_before = {
+        r["url"] for r in eng.table("pages").filter(F.col("fetch_status") == 200).collect()
+    }
+    n = eng.schedule_recrawl(t_now=-(10**8))  # every interval already elapsed
+    assert n > 0
+
+    empty_docs = spark.createDataFrame([], S.DOCUMENTS)
+    eng2 = _engine(
+        spark, tiny_corpus, wh=wh,
+        fetcher=CorpusFetcher(spark, documents=empty_docs),
+    )
+    assert eng2.resume()
+    eng2.run(fresh=False)
+
+    pages = eng2.table("pages")
+    recrawled = pages.filter(
+        (F.col("fetch_status") == 200) & (F.col("round") > eng.round)
+    )
+    urls = {r["url"] for r in recrawled.select("url").collect()}
+    assert urls  # re-fetches happened...
+    assert urls <= pages_before  # ...only of previously archived pages
+    # and no recrawl degraded to a 404 (a cache miss against the empty
+    # corpus would): every recrawled fetch carries the archived content
+    assert recrawled.filter(F.col("spans").isNull()).count() == 0
+    oracle = OracleCrawler(tiny_corpus).run()
+    sample = recrawled.limit(5).collect()
+    for r in sample:
+        got = [
+            (s["offset"], s["kind"], s["text"], s["media_ref"])
+            for s in sorted(r["spans"], key=lambda s: s["offset"])
+        ]
+        assert got == oracle.spans[r["url"]]
+
+
+def test_recrawl_schedule_operator(spark):
+    rows = [
+        ("https://a.test/1", 1, "a.test", "fetched", 0.5, "daily", None, 0, 0.0, 0, "r"),
+        ("https://a.test/2", 2, "a.test", "fetched", 0.5, None, None, 0, 0.0, 0, "r"),
+        ("https://a.test/3", 3, "a.test", "error", 0.5, "daily", None, 0, 0.0, 0, "r"),
+        ("https://a.test/4", 4, "a.test", "pending", 0.5, "weekly", None, 1, 30.0, 0, "r"),
+    ]
+    fr = spark.createDataFrame(rows, S.FRONTIER)
+    out = {r["url"]: r for r in recrawl_schedule(fr, t_now=1000.0).collect()}
+    assert out["https://a.test/1"]["status"] == "pending"
+    assert out["https://a.test/1"]["next_attempt_at"] == 1000.0 + 86400.0
+    assert out["https://a.test/1"]["retry_count"] == 0
+    # no metadata / error / already-pending rows are untouched
+    assert out["https://a.test/2"]["status"] == "fetched"
+    assert out["https://a.test/3"]["status"] == "error"
+    assert out["https://a.test/4"]["next_attempt_at"] == 30.0
+
+
+# warehouse hygiene (ADVICE): fresh bootstrap on a used warehouse must not
+# merge the previous run's state
+def test_fresh_bootstrap_clears_used_warehouse(spark, tiny_corpus):
+    wh = tempfile.mkdtemp(prefix="crawl_cl_")
+    first = _engine(spark, tiny_corpus, wh=wh)
+    first.run()
+    again = _engine(spark, tiny_corpus, wh=wh, run_id="run_0002")
+    again.run(fresh=True)  # would stall at 0 visited if old seen rows leaked
+    baseline = _engine(spark, tiny_corpus)
+    baseline.run()
+    assert again.visited_count == baseline.visited_count
+    got = {r["url"] for r in again.table("seen").collect()}
+    want = {r["url"] for r in baseline.table("seen").collect()}
+    assert got == want
+    runs = {r["run_id"] for r in again.table("runs").collect()}
+    assert runs == {"run_0002"}  # the old run's bookkeeping is gone too
+
+
+# S8: sitemap details are an upsert keyed on (source_url, index_url) —
+# a later commit replaces the row, like the reference's UNIQUE + UPDATE
+# (data.py:158-216)
+def test_sitemaps_upsert_view(spark, tiny_corpus):
+    eng = _engine(spark, tiny_corpus)
+    eng.run()
+    details = eng.table("sitemaps")
+    one = details.limit(1).collect()[0]
+    updated = spark.createDataFrame(
+        [(one["source_url"], one["index_url"], one["loc"], one["priority"],
+          one["frequency"], one["modified"], "recrawled")],
+        S.SITEMAPS,
+    )
+    eng.catalog.commit("sitemaps", updated, eng.round, mode="delta")
+    merged = {
+        (r["source_url"], r["index_url"]): r["status"]
+        for r in eng.catalog.load_merge(
+            "sitemaps", ("source_url", "index_url")
+        ).collect()
+    }
+    assert merged[(one["source_url"], one["index_url"])] == "recrawled"
+    assert len(merged) == details.count()  # upsert, not append
+
+
+# seed-list ingestion (reference data/url.db seed_urls + url CLI arg)
+def test_seeds_from_txt(spark, tmp_path):
+    from mr_crawly_spark.sources.seeds import load_seeds
+
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\nhttps://site0.test/\n\nhttps://site1.test/\n")
+    seeds = load_seeds(spark, str(p))
+    assert seeds.schema == S.SEEDS
+    rows = seeds.orderBy("seed_url_id").collect()
+    assert [r["url"] for r in rows] == ["https://site0.test/", "https://site1.test/"]
+    assert rows[0]["domain"] == "site0.test"
+
+
+def test_seeds_from_sqlite(spark, tmp_path):
+    from mr_crawly_spark.sources.seeds import load_seeds
+
+    db = tmp_path / "url.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE seed_urls (seed_url_id INTEGER PRIMARY KEY, "
+        "domain TEXT, url TEXT, description TEXT)"
+    )
+    con.execute(
+        "INSERT INTO seed_urls VALUES (1, 'site0.test', 'https://site0.test/', 'x')"
+    )
+    con.commit()
+    con.close()
+    seeds = load_seeds(spark, str(db))
+    assert seeds.collect()[0]["url"] == "https://site0.test/"
+
+
+def test_seeds_drive_the_crawl(spark, tiny_corpus, tmp_path):
+    """An external seed list (subset of hosts) bounds what gets crawled."""
+    from mr_crawly_spark.sources.seeds import load_seeds
+
+    p = tmp_path / "one_seed.txt"
+    p.write_text("https://site1.test/\n")
+    docs, robots, sitemaps, _ = corpus_to_spark(spark, tiny_corpus)
+    eng = CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps,
+        load_seeds(spark, str(p)),
+        CrawlConfig(warehouse=tempfile.mkdtemp(prefix="crawl_sd_")),
+    )
+    eng.run()
+    hosts = {
+        r["host"] for r in eng.table("pages").select("host").distinct().collect()
+    }
+    assert hosts == {"site1.test"}  # same-domain filter keeps it to the seed
+    assert eng.visited_count > 0
+
+
+def test_config_from_toml(tmp_path):
+    from mr_crawly_spark.config import config_from_toml, logging_level_from_toml
+
+    p = tmp_path / "crawl.toml"
+    p.write_text(
+        "[crawl]\nmax_pages = 7\nuse_bloom = true\ncheckpoint_interval = 2\n"
+        "\n[logging]\nlevel = \"DEBUG\"\n"
+    )
+    cfg = config_from_toml(str(p), "/tmp/wh", max_rounds=9)
+    assert (cfg.max_pages, cfg.use_bloom, cfg.checkpoint_interval) == (7, True, 2)
+    assert cfg.max_rounds == 9  # explicit override wins
+    assert cfg.warehouse == "/tmp/wh"
+    assert logging_level_from_toml(str(p)) == "DEBUG"
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[crawl]\nmax_pagez = 7\n")
+    with pytest.raises(ValueError, match="max_pagez"):
+        config_from_toml(str(bad), "/tmp/wh")

@@ -28,9 +28,11 @@ def _final_state(engine):
 
 
 def test_resume_equals_uninterrupted(spark, tiny_corpus):
-    """Kill after round 2, resume in a NEW engine, final state identical."""
+    """Kill after round 2, resume in a NEW engine, final state identical.
+    checkpoint_interval=1 pins a resume point at every round (the default
+    interval of 4 only guarantees resume points at flushed rounds)."""
     wh = tempfile.mkdtemp(prefix="crawl_resume_")
-    first = _engine(spark, tiny_corpus, wh, max_rounds=2)
+    first = _engine(spark, tiny_corpus, wh, max_rounds=2, checkpoint_interval=1)
     first.run()
     assert first.round == 2  # stopped early
 
@@ -50,12 +52,12 @@ def test_resume_equals_uninterrupted(spark, tiny_corpus):
 def test_rollback_then_rerun(spark, tiny_corpus):
     """Time travel: roll back to round 1 and re-run -> same final state."""
     wh = tempfile.mkdtemp(prefix="crawl_rb_")
-    eng = _engine(spark, tiny_corpus, wh)
+    eng = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
     eng.run()
     want = _final_state(eng)
 
     eng.catalog.rollback_to(1)
-    again = _engine(spark, tiny_corpus, wh)
+    again = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
     assert again.resume()
     assert again.round == 1
     again.run(fresh=False)

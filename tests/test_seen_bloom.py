@@ -63,5 +63,70 @@ def test_bloom_sidecar_roundtrip(spark, tmp_path):
     m, k = seen_ops.bloom_params(100)
     blooms = seen_ops.build_bucket_blooms(seen, 4, m, k)
     path = str(tmp_path / "bloom")
-    seen_ops.write_bloom_sidecar(spark, blooms, path)
+    seen_ops.write_bloom_sidecar(spark, blooms, path, m_bits=m, k=k, n_buckets=4)
     assert seen_ops.read_bloom_sidecar(spark, path) == blooms
+    assert seen_ops.read_bloom_geometry(path) == (m, k, 4)
+
+
+def test_sidecar_probe_equals_exact_and_is_bucket_local(spark, tmp_path):
+    """The scale path (verdict #4): the bucket-partitioned sidecar probe
+    returns exactly the anti-join's rows, and each probe task loads only the
+    bucket(s) in its partition — never the whole Bloom."""
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(500)], "url string"
+        )
+    )
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(250, 750)],
+            "url string",
+        )
+    )
+    n_buckets = 8
+    m, k = seen_ops.bloom_params(500, fpp=0.05)
+    path = str(tmp_path / "bloom_sc")
+    seen_ops.build_bloom_sidecar(seen, path, n_buckets, m, k)
+    assert seen_ops.read_bloom_geometry(path) == (m, k, n_buckets)
+
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, seen).collect()}
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen(
+            cands, seen, n_buckets=n_buckets, m_bits=m, k=k, sidecar_path=path
+        ).collect()
+    }
+    assert got == exact
+
+    # locality: with candidates range-partitioned on the bucket id, a task
+    # never loads more than the buckets of its own partition (dense 0..7 ids
+    # over 8 range partitions -> 1 each; assert the no-full-broadcast bound)
+    probed = seen_ops.bloom_prefilter_sidecar(
+        cands, path, n_buckets, m, k, debug_loaded_col=True
+    )
+    per_row = [r["_buckets_loaded"] for r in probed.collect()]
+    assert max(per_row) <= 2
+    assert max(per_row) < n_buckets  # no task touched the whole Bloom
+
+
+def test_sidecar_geometry_mismatch_rejected(spark, tmp_path):
+    seen = _with_hash(
+        spark.createDataFrame([(f"https://x.test/{i}",) for i in range(50)], "url string")
+    )
+    m, k = seen_ops.bloom_params(50)
+    path = str(tmp_path / "bloom_geo")
+    seen_ops.build_bloom_sidecar(seen, path, 4, m, k)
+    import pytest
+
+    with pytest.raises(ValueError, match="geometry"):
+        seen_ops.bloom_prefilter_sidecar(seen, path, 8, m, k).count()
+
+
+def test_driver_bloom_size_gate():
+    import pytest
+
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    with pytest.raises(ValueError, match="driver gate"):
+        # 10^10-key shape: 4096 buckets x ~12 GB total — must refuse collect
+        seen_ops.build_bucket_blooms(None, 4096, 95_850_584_000 // 4096, 7)
