@@ -103,12 +103,16 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.fetcher = fetcher
-        self.robots = robots
+        # robots (and the budgets derived from it) ride a broadcast join in
+        # EVERY round's plan — checkpoint lazily so re-broadcasts serve from
+        # cached partitions, not a re-run of the caller's lineage
+        self.robots = robots.localCheckpoint(eager=False)
         self.sitemaps_raw = sitemaps_raw
         self.seeds = seeds
         self.cfg = config
         self.catalog = SnapshotCatalog(spark, config.warehouse)
-        self.budgets = host_budgets(robots)  # tiny, reused every round
+        # tiny, reused every round (broadcast in select_slice)
+        self.budgets = host_budgets(self.robots).localCheckpoint(eager=False)
         self.visited_count = 0
         self.round = 0
         # driver-tracked counters (exact, updated per round) — avoid
@@ -127,6 +131,9 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen: DataFrame | None = None
         self._pages_cache: DataFrame | None = None
+        # armed by schedule_recrawl(): only then can a fetch hit the page
+        # cache, so only then does the fetch path pay the cache joins
+        self._recrawl_mode = False
         self._deltas: dict[str, list[DataFrame]] = {"pages": [], "links": [], "seen": []}
         # frames persisted during rounds; released only after flush writes
         # (pages/links deltas stay LAZY until the flush job — zero extra
@@ -186,8 +193,15 @@ class CrawlEngine:
             self.catalog.reset()
             self._blooms = None
         details, fallback = expand_sitemaps(self.seeds, self.sitemaps_raw)
+        # cut lineage once: details feeds the sitemaps commit AND the
+        # frontier build; frontier feeds its own commit AND the seen commit —
+        # without the checkpoints each consumer re-runs the whole sitemap
+        # expansion (measured: bootstrap 27 s -> the expansion recomputed 3x)
+        details = details.localCheckpoint()
         first = bootstrap_frontier_urls(details, fallback)
-        frontier = new_frontier_entries(first, round_=0, run_id=self.cfg.run_id)
+        frontier = new_frontier_entries(
+            first, round_=0, run_id=self.cfg.run_id
+        ).localCheckpoint()
         seen = frontier.select("url_hash", "url").withColumn(
             "first_seen_round", F.lit(0)
         ).withColumn("run_id", F.lit(self.cfg.run_id))
@@ -208,6 +222,7 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen = self.catalog.load("seen", max_round=0)
         self._pages_cache = None
+        self._recrawl_mode = False
         self._deltas = {"pages": [], "links": [], "seen": []}
         self._round_persists = []
         self._write_run_row(end=False)
@@ -233,6 +248,7 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen = None
         self._pages_cache = None
+        self._recrawl_mode = bool(last.get("recrawl_mode"))
         self._deltas = {"pages": [], "links": [], "seen": []}
         self._round_persists = []
         log.info("resume: round %d, %d visited", self.round, self.visited_count)
@@ -257,17 +273,33 @@ class CrawlEngine:
         ).unionByName(self._frontier_updates)
 
     def _pages_cache_view(self) -> DataFrame | None:
-        """(url_hash, url, spans) of every successfully fetched page — the
-        page-cache read side (S4/J2). None while provably empty."""
-        if self.visited_count == 0 and self._pages_cache is None:
+        """(url_hash, url, spans) of successfully fetched pages — the
+        page-cache read side (S4/J2), materialized ONCE per recrawl cycle.
+
+        In the default drain-loop a cache hit is IMPOSSIBLE (the status
+        machine never re-enqueues a fetched url), so the view is None and
+        the fetch path pays zero extra joins; schedule_recrawl() arms it.
+        The view is deliberately as-of the last flush: a stale entry is just
+        a cache miss that falls through to the fetcher, never a wrong
+        answer — so it can be localCheckpoint'ed once and reused without
+        per-round lineage growth (the round-1 per-round union cost
+        ~11 s/round at the e2e bench)."""
+        if not (self.cfg.use_page_cache and self._recrawl_mode):
+            return None
+        if self.visited_count == 0:
             return None
         if self._pages_cache is None:
             pages = self.catalog.load("pages", max_round=self.round)
             if pages is None:
                 return None
-            self._pages_cache = pages.filter(
-                (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
-            ).select("url_hash", "url", "spans")
+            self._pages_cache = (
+                pages.filter(
+                    (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
+                )
+                .select("url_hash", "url", "spans")
+                .dropDuplicates(["url_hash", "url"])
+                .localCheckpoint()
+            )
         return self._pages_cache
 
     def _fetch_with_cache(self, gated: DataFrame) -> DataFrame:
@@ -277,12 +309,11 @@ class CrawlEngine:
         the fetcher. Cached rows carry _from_cache=true so the transient-
         failure model never re-fails them (a cache hit never touches the
         downloader)."""
-        cache = self._pages_cache_view() if self.cfg.use_page_cache else None
+        cache = self._pages_cache_view()
         if cache is None:
             return self.fetcher.fetch(
                 gated, approx_rows=self.pending_count
             ).withColumn("_from_cache", F.lit(False))
-        cache = cache.dropDuplicates(["url_hash", "url"])
         hits = (
             gated.join(
                 cache.withColumnRenamed("spans", "_cached_spans"),
@@ -307,6 +338,7 @@ class CrawlEngine:
             {
                 "run_id": self.cfg.run_id,
                 "logical_time": self.round * ROUND_SECONDS,
+                "recrawl_mode": self._recrawl_mode,
                 **extra,
             },
         )
@@ -365,9 +397,14 @@ class CrawlEngine:
             else:
                 self._blooms[bucket] = bits
 
-    def _outcome_counts(self, df: DataFrame) -> dict:
-        """One aggregation job for every per-round metric."""
-        row = df.agg(
+    _OUTCOME_KEYS = ("n", "ok", "denied", "err404", "retries", "retry_back")
+
+    @staticmethod
+    def _outcome_aggs() -> list:
+        """The per-round metric aggregates — used either as an eager agg job
+        (budget-risky rounds) or as a zero-job Observation riding the
+        round's single materializing action (the common case)."""
+        return [
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("_is_success")).alias("ok"),
             F.sum((F.col("_outcome") == "robots_denied").cast("int")).alias("denied"),
@@ -379,17 +416,23 @@ class CrawlEngine:
                     & (F.col("retry_count") + 1 < MAX_RETRIES)
                 ).cast("int")
             ).alias("retry_back"),
-        ).first()
-        return {k: int(row[k] or 0) for k in
-                ("n", "ok", "denied", "err404", "retries", "retry_back")}
+        ]
+
+    def _outcome_counts(self, df: DataFrame) -> dict:
+        """One aggregation job for every per-round metric."""
+        row = df.agg(*self._outcome_aggs()).first()
+        return {k: int(row[k] or 0) for k in self._OUTCOME_KEYS}
 
     def run_round(self) -> dict:
         """Execute one crawl round; returns the round's metric dict.
 
-        Per-round Spark jobs are held to THREE (verdict #8): (1) the outcome
-        aggregation, which also materializes the persisted classification;
-        (2) the seen-delta localCheckpoint, whose Observation yields n_new
-        for free; (3) the small frontier-update localCheckpoint. The pages
+        In the common case (the round provably cannot cross max_pages —
+        decidable on the driver from pending_count) the WHOLE round is ONE
+        Spark job: the frontier-update localCheckpoint materializes
+        slice -> fetch -> classify -> parse -> seen anti-join -> updates,
+        and every per-round count rides it as an Observation (verdict #8).
+        Only budget-risky rounds pay an extra eager aggregation (and, when
+        max_pages is actually crossed, the global-order window). The pages
         and links deltas stay lazy over the persisted frames until flush.
         """
         r = self.round + 1
@@ -406,7 +449,7 @@ class CrawlEngine:
         gated = robots_gate(sliced, self.robots)
         fetched = self._fetch_with_cache(gated)
 
-        classified = (
+        classified_base = (
             fetched.withColumn(
                 "_transient",
                 _transient_fail_col(F.col("url"))
@@ -422,38 +465,55 @@ class CrawlEngine:
                 .otherwise(F.lit("success")),
             )
             .withColumn("_is_success", (F.col("_outcome") == "success").cast("int"))
-            .persist()
         )
-        self._round_persists.append(classified)
-        cnt = self._outcome_counts(classified)  # job 1: materializes the persist
-        n_slice = cnt["n"]
-        if n_slice == 0:
-            self.round = r
-            self._last_metrics = {"round": r, "processed": 0, "fetched_ok": 0}
-            if r % self.cfg.checkpoint_interval == 0:
-                self.flush()
-            return self._last_metrics
-
-        # --- budget gate (F6): only rounds that actually cross max_pages pay
-        # for the global-order window -----------------------------------------
-        if self.visited_count + cnt["ok"] > self.cfg.max_pages:
-            w = Window.orderBy(
-                F.col("host").asc(),
-                F.col("priority").desc(),
-                F.col("discovered_round").asc(),
-                F.col("url").asc(),
-            ).rowsBetween(Window.unboundedPreceding, -1)
-            classified = classified.withColumn(
-                "_succ_before", F.coalesce(F.sum("_is_success").over(w), F.lit(0))
-            ).withColumn(
-                "_processed",
-                (F.lit(self.visited_count) + F.col("_succ_before"))
-                < F.lit(self.cfg.max_pages),
-            ).persist()
-            self._round_persists.append(classified)  # both frames released at flush
-            processed = classified.filter(F.col("_processed"))
-            cnt = self._outcome_counts(processed)
+        # Budget risk is decidable on the driver for free: the slice can
+        # never process more rows than there are pending rows. When max_pages
+        # cannot be crossed (the overwhelmingly common case), the whole round
+        # fuses into ONE Spark job — every count rides the single
+        # materializing action as an Observation (verdict #8).
+        budget_risk = (
+            self.pending_count is None
+            or self.visited_count + self.pending_count > self.cfg.max_pages
+        )
+        obs_cls: Observation | None = None
+        cnt: dict | None = None
+        if budget_risk:
+            classified = classified_base.persist()
+            self._round_persists.append(classified)
+            cnt = self._outcome_counts(classified)  # eager job
+            if cnt["n"] == 0:
+                self.round = r
+                self._last_metrics = {"round": r, "processed": 0, "fetched_ok": 0}
+                if r % self.cfg.checkpoint_interval == 0:
+                    self.flush()
+                return self._last_metrics
+            # --- budget gate (F6): only rounds that actually cross max_pages
+            # pay for the global-order window ---------------------------------
+            if self.visited_count + cnt["ok"] > self.cfg.max_pages:
+                w = Window.orderBy(
+                    F.col("host").asc(),
+                    F.col("priority").desc(),
+                    F.col("discovered_round").asc(),
+                    F.col("url").asc(),
+                ).rowsBetween(Window.unboundedPreceding, -1)
+                classified = classified.withColumn(
+                    "_succ_before", F.coalesce(F.sum("_is_success").over(w), F.lit(0))
+                ).withColumn(
+                    "_processed",
+                    (F.lit(self.visited_count) + F.col("_succ_before"))
+                    < F.lit(self.cfg.max_pages),
+                ).persist()
+                self._round_persists.append(classified)  # both released at flush
+                processed = classified.filter(F.col("_processed"))
+                cnt = self._outcome_counts(processed)
+            else:
+                processed = classified
         else:
+            obs_cls = Observation()
+            classified = classified_base.observe(
+                obs_cls, *self._outcome_aggs()
+            ).persist()
+            self._round_persists.append(classified)
             processed = classified
 
         successes = processed.filter(F.col("_outcome") == "success")
@@ -513,25 +573,13 @@ class CrawlEngine:
         else:
             fresh = seen_ops.filter_unseen(candidates, seen)
 
+        obs_new = Observation()
         new_entries = new_frontier_entries(
             fresh.select("url"), round_=r, run_id=self.cfg.run_id
-        ).persist()  # consumed by both the seen delta and the frontier updates
-        self._round_persists.append(new_entries)
-        seen_delta = new_entries.select("url_hash", "url").withColumn(
-            "first_seen_round", F.lit(r)
-        ).withColumn("run_id", F.lit(self.cfg.run_id))
-
-        # --- state update: localCheckpoint (lineage cut, in-memory) ----------
-        # job 2 — the Observation delivers n_new without a separate count()
-        obs = Observation()
-        seen_delta_ck = (
-            seen_delta.observe(obs, F.count(F.lit(1)).alias("n_new"))
-            .coalesce(8)
-            .localCheckpoint()
-        )
-        n_new = int(obs.get["n_new"] or 0)
-        if self.cfg.use_bloom and n_new:
-            self._bloom_add_delta(seen_delta_ck)
+        ).observe(obs_new, F.count(F.lit(1)).alias("n_new"))
+        # (no persist: new_entries has exactly one consumer — the frontier
+        # update union below; this round's seen delta is DERIVED from the
+        # checkpointed updates by discovered_round == r)
 
         # --- frontier status rewrites (P10) as merge-on-read updates ---------
         # full replacement rows for the touched keys; NEVER a join against
@@ -571,28 +619,45 @@ class CrawlEngine:
             round_updates = self._frontier_updates.join(
                 keys, ["url_hash", "url"], "left_anti"
             ).unionByName(round_updates)
-        # job 3 — small: touched keys since last compaction, not the table
+        # THE round's materializing action: one localCheckpoint runs the
+        # whole pipeline (slice -> fetch -> classify -> parse -> anti-join ->
+        # updates); the Observations deliver every count for free
         updates_ck = round_updates.coalesce(8).localCheckpoint()
+        n_new = int(obs_new.get["n_new"] or 0)
+        if cnt is None:
+            cnt = {k: int(obs_cls.get[k] or 0) for k in self._OUTCOME_KEYS}
+        n_slice = cnt["n"]
+        if n_slice == 0:
+            # fused-path empty round: nothing was touched (updates_ck merely
+            # re-checkpointed the old update set) — keep state at round r-1
+            self.round = r
+            self._last_metrics = {"round": r, "processed": 0, "fetched_ok": 0}
+            if r % self.cfg.checkpoint_interval == 0:
+                self.flush()
+            return self._last_metrics
+
+        # this round's seen delta = the new entries inside the checkpointed
+        # updates (exactly the rows discovered this round; processed rows
+        # always carry discovered_round < r) — zero extra jobs
+        seen_delta_ck = (
+            updates_ck.filter(F.col("discovered_round") == r)
+            .select("url_hash", "url")
+            .withColumn("first_seen_round", F.lit(r))
+            .withColumn("run_id", F.lit(self.cfg.run_id))
+        )
+        if self.cfg.use_bloom and n_new:
+            self._bloom_add_delta(seen_delta_ck)
 
         # build every next-state DataFrame BEFORE mutating engine fields:
         # the py4j calls below can be interrupted (streaming wrapper stop());
         # the pure-python assignment block at the end cannot, so the engine
-        # is always either fully at round r-1 or fully at round r
+        # is always either fully at round r-1 or fully at round r.
+        # (the page cache is deliberately NOT extended per round — see
+        # _pages_cache_view: stale == miss == refetch, never wrong)
         next_seen = seen.unionByName(seen_delta_ck)
-        next_pages_cache = None
-        if self.cfg.use_page_cache:
-            cache = self._pages_cache_view()
-            new_content = successes.filter(~F.col("_from_cache")).select(
-                "url_hash", "url", "spans"
-            )
-            next_pages_cache = (
-                new_content if cache is None else cache.unionByName(new_content)
-            )
 
         self._frontier_updates = updates_ck
         self._seen = next_seen
-        if next_pages_cache is not None:
-            self._pages_cache = next_pages_cache
         self._deltas["seen"].append(seen_delta_ck)
         self._deltas["pages"].append(pages_delta)  # lazy until flush
         self._deltas["links"].append(links_delta)  # lazy until flush
@@ -713,11 +778,13 @@ class CrawlEngine:
         self._frontier_updates = None
         self._updates_count = 0
         self._flushes_since_compact = 0
+        self._recrawl_mode = True   # arm the page-cache read path
+        self._pages_cache = None    # rebuild as-of this recrawl cycle
         n = self._frontier_view().filter(F.col("status") == "pending").count()
         self.pending_count = n
         self._commit_round(
             {"visited_count": self.visited_count, "pending_count": n,
-             **self._last_metrics, "recrawl_scheduled": True}
+             **self._last_metrics}
         )
         log.info("schedule_recrawl: %d rows pending", n)
         return n

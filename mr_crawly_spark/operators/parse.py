@@ -43,14 +43,15 @@ def extract_outlinks(fetched: DataFrame) -> DataFrame:
     same_domain = canon.filter(
         url_host_col(F.col("linked_url")) == F.col("host")
     ).select("source_url", "linked_url")
-    links = same_domain.dropDuplicates(["source_url", "linked_url"])
-    # A4: add (source, source) for every source that produced >= 1 link
-    self_links = links.select("source_url").distinct().withColumn(
-        "linked_url", F.col("source_url")
+    # A4: add (source, source) for every source that produced >= 1 link.
+    # Emitting one self-link candidate PER pair (not per source) lets the
+    # final dedup absorb them in the SAME shuffle — one exchange for dedup
+    # + self-links instead of the naive dedup -> distinct -> union -> dedup
+    # chain (3 extra exchanges per round in the crawl hot loop).
+    with_self = same_domain.unionByName(
+        same_domain.select("source_url", F.col("source_url").alias("linked_url"))
     )
-    return links.unionByName(self_links).dropDuplicates(
-        ["source_url", "linked_url"]
-    )
+    return with_self.dropDuplicates(["source_url", "linked_url"])
 
 
 def spans_in_order(fetched: DataFrame) -> DataFrame:

@@ -42,7 +42,9 @@ def expand_sitemaps(
     sm = sitemaps_raw.select(
         F.col("url").alias("sm_url"), "is_index", "locs",
         "first_loc", "first_priority", "first_changefreq", "first_lastmod",
-    )
+    ).localCheckpoint(eager=False)  # joined once per level — cut the
+    # caller's lineage (often a driver-side createDataFrame) so each level
+    # re-reads cached partitions instead of re-serializing the source
 
     # level 0: index preferred, else flat sitemap, else fallback
     cands = seed_urls.select(
@@ -70,6 +72,11 @@ def expand_sitemaps(
 
     leaves = None
     for _ in range(MAX_DEPTH):
+        # one materialization per level: the level's rows are tiny (sitemap
+        # records for the seed hosts), but the UNCUT lineage would be re-run
+        # by every downstream action (isEmpty here, plus each bootstrap
+        # commit) — each pass re-paying the canonicalize UDF + joins
+        current = current.localCheckpoint()
         level_leaves = current.filter(~F.col("is_index"))
         leaves = level_leaves if leaves is None else leaves.unionByName(level_leaves)
         indexes = current.filter(F.col("is_index"))

@@ -52,7 +52,15 @@ class CorpusFetcher:
         assert (documents is None) != (path is None)
         self.spark = spark
         self.n_buckets = n_buckets
-        self.df = documents if documents is not None else spark.read.parquet(path)
+        # in-memory corpora: cut the createDataFrame lineage ONCE (lazy — pays
+        # on first fetch). Without this every round's broadcast re-serializes
+        # the whole corpus from the driver (measured ~1 s/round in the e2e
+        # bench); parquet corpora are already a cheap re-scannable source.
+        self.df = (
+            documents.localCheckpoint(eager=False)
+            if documents is not None
+            else spark.read.parquet(path)
+        )
         self.bucketed = "bucket" in self.df.columns
         # in-memory (test/bench) corpora are broadcastable -> single left
         # join; parquet corpora use the scale path (prune + inner + anti)
