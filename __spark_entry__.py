@@ -214,6 +214,32 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composed curation pass (the 100-TB pre-training filter): quality /
+    language / length gates -> exact-dedup keeper per fingerprint -> one row
+    per surviving document. ONE shuffle total: the gates are map-side column
+    predicates and duplicates share identical text, so min() of any per-doc
+    stat inside the fingerprint groupBy IS that doc's stat."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("pred_lang") == "en")
+        & F.col("n_tokens").between(5, 2000)
+    )
+    return gated.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+    )
+
+
 def q_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_signatures(docs, n_hashes=8, shingle_n=3)
@@ -393,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "corpus_filter": q_corpus_filter,
         "minhash": q_minhash,
         "neardup_jaccard": q_neardup_jaccard,
         "simhash16": q_simhash16,
@@ -590,6 +617,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, {fp} AS fp FROM documents
+        """,
+        "corpus_filter": f"""
+            WITH gated AS (
+              SELECT doc_id, {n_tok}::BIGINT AS n_tokens, {quality} AS quality,
+                     {fp} AS fp
+              FROM documents
+              WHERE {quality} >= 0.5
+                AND (CASE WHEN {stop_ratio} >= 0.03 THEN 'en' ELSE 'unk' END) = 'en'
+                AND {n_tok} BETWEEN 5 AND 2000
+            )
+            SELECT fp, min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies,
+                   min(n_tokens) AS n_tokens, min(quality) AS quality
+            FROM gated GROUP BY fp
         """,
         "minhash": f"""
             WITH sh AS (

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "sessionize",
     "dedup_exact",
+    "corpus_filter",
     "token_count",
     "minhash",
     "simhash16",
