@@ -98,3 +98,36 @@ def test_minhash_single_shuffle(spark):
 def test_aggs_have_partial_aggregation(spark, name):
     plan = plan_of(entry_mod.queries()[name](spark, SF_DIR))
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_corpus_filter_single_shuffle_pure_jvm(spark):
+    """The composed curation pass (gates -> dedup keeper) is one exchange
+    (the fingerprint groupBy; every gate is a map-side predicate) with no
+    Python anywhere."""
+    plan = plan_of(entry_mod.q_corpus_filter(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Python" not in plan
+    assert "partial" in plan.lower()  # keeper agg combines map-side
+
+
+def test_extract_outlinks_single_dedup_exchange(spark, corpus):
+    """A4 self-links ride the same shuffle as the pair dedup: exactly one
+    exchange downstream of the canonicalize UDF (per union branch), not the
+    dedup -> distinct -> union -> dedup chain."""
+    from mr_crawly_spark import schemas as S
+    from mr_crawly_spark.functions.urls import url_host_col
+    from mr_crawly_spark.operators.parse import extract_outlinks
+
+    docs = spark.createDataFrame(
+        [(d["doc_id"],
+          [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in d["spans"]])
+         for d in corpus.documents[:50]],
+        schema=S.DOCUMENTS,
+    ).select(
+        F.col("doc_id").alias("url"),
+        url_host_col(F.col("doc_id")).alias("host"),
+        "spans",
+    )
+    plan = plan_of(extract_outlinks(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
