@@ -35,6 +35,7 @@ log = logging.getLogger("mr_crawly_spark.engine")
 from mr_crawly_spark import schemas as S
 from mr_crawly_spark.datagen import (
     BACKOFF,
+    MAX_PER_HOST_PER_ROUND,
     MAX_RETRIES,
     ROUND_SECONDS,
     TRANSIENT_FAIL_MOD,
@@ -445,6 +446,9 @@ class CrawlEngine:
         sliced = select_slice(
             frontier, self.budgets, t,
             salt_partitions=self.cfg.salt_partitions, salt=self.cfg.salt,
+            # host_budgets clamps every k_host to this, so the literal cap is
+            # lossless — and it unlocks the map-side WindowGroupLimit
+            k_cap=MAX_PER_HOST_PER_ROUND,
         )
         gated = robots_gate(sliced, self.robots)
         fetched = self._fetch_with_cache(gated)

@@ -32,8 +32,27 @@ def select_slice(
     t_round: float,
     salt_partitions: int | None = None,
     salt: int = 16,
+    k_cap: int | None = None,
 ) -> DataFrame:
-    """Eligible pending entries, per-host top-k (O3), salted for skew."""
+    """Eligible pending entries, per-host top-k (O3), salted for skew.
+
+    ``k_cap``: a LITERAL upper bound on every host's k_host (the engine
+    passes MAX_PER_HOST_PER_ROUND, which host_budgets clamps to). The rank
+    filter then carries a ``rn <= literal`` conjunct, which Catalyst's
+    InferWindowGroupLimit turns into a map-side partial top-k BEFORE the
+    window exchange — at a 10^10-row pending set the shuffle input drops
+    from every eligible row to <= k_cap rows per host per map partition.
+    The exact per-host budget (a column) still applies after the window.
+    """
+
+    def rank_filter(rn_col):
+        cond = rn_col <= F.col("k_host")
+        if k_cap is not None:
+            # literal conjunct FIRST: this is the shape the WindowGroupLimit
+            # optimizer rule matches (rank <= foldable)
+            cond = (rn_col <= F.lit(int(k_cap))) & cond
+        return cond
+
     eligible = frontier.filter(
         (F.col("status") == "pending") & (F.col("next_attempt_at") <= F.lit(t_round))
     )
@@ -54,13 +73,13 @@ def select_slice(
         ).orderBy(*order)
         eligible = (
             eligible.withColumn("_rn1", F.row_number().over(w1))
-            .filter(F.col("_rn1") <= F.col("k_host"))
+            .filter(rank_filter(F.col("_rn1")))
             .drop("_rn1")
         )
     w = Window.partitionBy("host").orderBy(*order)
     sliced = (
         eligible.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("k_host"))
+        .filter(rank_filter(F.col("_rn")))
         .drop("_rn", "k_host")
     )
     if salt_partitions:

@@ -100,6 +100,32 @@ def test_aggs_have_partial_aggregation(spark, name):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
 
 
+def test_slice_window_has_map_side_group_limit(spark):
+    """The engine's literal k_cap must trigger InferWindowGroupLimit — the
+    map-side partial top-k that keeps the politeness window's shuffle input
+    at <= k_cap rows per host per map partition regardless of pending-set
+    size (BENCH/frontier_growth.json measures the effect)."""
+    from mr_crawly_spark.datagen import MAX_PER_HOST_PER_ROUND
+    from mr_crawly_spark.operators.frontier import select_slice
+
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.lit("pending").alias("status"), F.lit(0.5).alias("priority"),
+        F.lit(0).alias("retry_count"), F.lit(0.0).alias("next_attempt_at"),
+        F.lit(0).alias("discovered_round"),
+    )
+    budgets = spark.createDataFrame([("h1.test", 4)], "host string, k_host int")
+    capped = select_slice(frontier, budgets, 1.0, salt_partitions=16,
+                          k_cap=MAX_PER_HOST_PER_ROUND)
+    assert "WindowGroupLimit" in plan_of(capped)
+    uncapped = select_slice(frontier, budgets, 1.0, salt_partitions=16)
+    assert "WindowGroupLimit" not in plan_of(uncapped)
+
+
 def test_corpus_filter_single_shuffle_pure_jvm(spark):
     """The composed curation pass (gates -> dedup keeper) is one exchange
     (the fingerprint groupBy; every gate is a map-side predicate) with no
