@@ -221,7 +221,7 @@ class CrawlEngine:
         self._frontier_updates = None
         self._updates_count = 0
         self._flushes_since_compact = 0
-        self._seen = self.catalog.load("seen", max_round=0)
+        self._seen = None  # base built lazily (partitioned layout) on use
         self._pages_cache = None
         self._recrawl_mode = False
         self._deltas = {"pages": [], "links": [], "seen": []}
@@ -272,6 +272,44 @@ class CrawlEngine:
         return self._frontier_base.join(
             keys, ["url_hash", "url"], "left_anti"
         ).unionByName(self._frontier_updates)
+
+    def _seen_base(self) -> DataFrame:
+        """The seen-set BASE: as-of the last flush, hash-partitioned AND
+        sorted on the join keys, lineage-cut. Rebuilt only at flush cadence.
+
+        The layout is the point: the per-round anti-join's merge side is
+        already clustered+ordered on (url_hash, url), so EnsureRequirements
+        inserts NO exchange and NO sort on the seen side — each round
+        shuffles only its (slice-sized) candidates. At a 10^10-row seen set
+        that converts a full-table shuffle+sort per round into one partition
+        pass at flush cadence. (localCheckpoint must run with AQE off: under
+        AQE the captured plan reports UnknownPartitioning and the layout is
+        lost — verified in tests/test_plans.py.)
+
+        Rows seen SINCE the flush live in self._deltas["seen"]; the round's
+        membership test anti-joins base first, then the (small) delta union
+        — exact either way, and the Bloom prefilter is built over the FULL
+        view (_seen_full_view) so it never yields false negatives."""
+        if self._seen is None:
+            loaded = self.catalog.load("seen", max_round=self.round)
+            n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            part = loaded.repartition(
+                n_parts, F.col("url_hash"), F.col("url")
+            ).sortWithinPartitions("url_hash", "url")
+            prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                self._seen = part.localCheckpoint()
+            finally:
+                self.spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return self._seen
+
+    def _seen_full_view(self) -> DataFrame:
+        """Base + uncommitted round deltas — every url ever seen."""
+        view = self._seen_base()
+        for d in self._deltas["seen"]:
+            view = view.unionByName(d)
+        return view
 
     def _pages_cache_view(self) -> DataFrame | None:
         """(url_hash, url, spans) of successfully fetched pages — the
@@ -439,9 +477,7 @@ class CrawlEngine:
         r = self.round + 1
         t = r * ROUND_SECONDS
         frontier = self._frontier_view()
-        if self._seen is None:
-            self._seen = self.catalog.load("seen", max_round=self.round)
-        seen = self._seen
+        seen = self._seen_base()
 
         sliced = select_slice(
             frontier, self.budgets, t,
@@ -568,7 +604,7 @@ class CrawlEngine:
             .dropDuplicates(["url"])
             .withColumn("url_hash", url_hash_col(F.col("url")))
         )
-        self._maybe_build_blooms(seen)
+        self._maybe_build_blooms(self._seen_full_view())
         if self._blooms is not None:
             m, k = self._bloom_mk
             fresh = seen_ops.filter_unseen(
@@ -576,6 +612,15 @@ class CrawlEngine:
             )
         else:
             fresh = seen_ops.filter_unseen(candidates, seen)
+        # rows seen since the last flush (not yet folded into the base):
+        # one anti-join against the small delta union — `fresh` leaves the
+        # base join already partitioned on the keys, so only the (round-
+        # sized, checkpointed) delta side exchanges
+        if self._deltas["seen"]:
+            drift = self._deltas["seen"][0].select("url_hash", "url")
+            for d in self._deltas["seen"][1:]:
+                drift = drift.unionByName(d.select("url_hash", "url"))
+            fresh = fresh.join(drift, ["url_hash", "url"], "left_anti")
 
         obs_new = Observation()
         new_entries = new_frontier_entries(
@@ -652,16 +697,14 @@ class CrawlEngine:
         if self.cfg.use_bloom and n_new:
             self._bloom_add_delta(seen_delta_ck)
 
-        # build every next-state DataFrame BEFORE mutating engine fields:
-        # the py4j calls below can be interrupted (streaming wrapper stop());
-        # the pure-python assignment block at the end cannot, so the engine
-        # is always either fully at round r-1 or fully at round r.
-        # (the page cache is deliberately NOT extended per round — see
-        # _pages_cache_view: stale == miss == refetch, never wrong)
-        next_seen = seen.unionByName(seen_delta_ck)
-
+        # pure-python assignment block: the py4j calls above can be
+        # interrupted (streaming wrapper stop()); these assignments cannot,
+        # so the engine is always either fully at round r-1 or fully at
+        # round r. The seen BASE is deliberately NOT extended per round —
+        # the round's delta joins as drift until flush folds it in
+        # (_seen_base); same for the page cache (_pages_cache_view:
+        # stale == miss == refetch, never wrong).
         self._frontier_updates = updates_ck
-        self._seen = next_seen
         self._deltas["seen"].append(seen_delta_ck)
         self._deltas["pages"].append(pages_delta)  # lazy until flush
         self._deltas["links"].append(links_delta)  # lazy until flush

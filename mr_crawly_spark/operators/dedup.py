@@ -68,6 +68,27 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def cap_bucket_size(
+    keyed: DataFrame, key_cols: list[str], max_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_size`` members before a
+    self-join. A degenerate bucket (boilerplate/empty documents hashing to
+    one band key) turns the banded equi-join quadratic — at 10^10 docs one
+    million-member bucket is 10^12 pairs. Capping trades recall ONLY on
+    pathological buckets (real production LSH practice: exact dedup should
+    have removed identical content first); the count agg combines map-side
+    and shuffles on the same keys as the join itself."""
+    if max_size is None:
+        return keyed
+    ok = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_size)
+        .select(*key_cols)
+    )
+    return keyed.join(ok, key_cols, "left_semi")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 8,
@@ -75,10 +96,12 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands; docs
     sharing any band key become candidates (equi-join on the band key — the
-    scale-safe alternative to all-pairs)."""
+    scale-safe alternative to all-pairs). ``max_band_size`` drops
+    pathological hot buckets before the join (see cap_bucket_size)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes, shingle_n, id_col, text_col)
@@ -91,6 +114,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = cap_bucket_size(banded, ["band", "key"], max_band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -177,12 +201,13 @@ def simhash64(
 
 
 def simhash_neardup_pairs(
-    documents: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+    documents: DataFrame, max_hamming: int = 8, id_col: str = "doc_id",
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by banding the 60-bit fingerprint into 4
     15-bit bands (docs within hamming distance <= 3 of each other share at
     least one exact band — classic pigeonhole LSH for SimHash); verify with
-    bit_count of xor."""
+    bit_count of xor. ``max_band_size`` caps hot buckets (cap_bucket_size)."""
     sh = simhash64(documents)
     bands = sh.select(
         id_col,
@@ -201,6 +226,7 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = cap_bucket_size(bands, ["band", "key"], max_band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -225,9 +225,12 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: bucket join on hyperplane signature
-    (scale path — no all-pairs), exact cosine >= threshold within buckets."""
+    (scale path — no all-pairs), exact cosine >= threshold within buckets.
+    ``max_bucket_size`` drops pathological hot buckets before the self-join
+    (dedup.cap_bucket_size — e.g. a zero-vector bucket goes quadratic)."""
     planes = deterministic_hyperplanes(
         len(embeddings.select(vec_col).first()[0]), n_planes
     )
@@ -235,6 +238,10 @@ def embedding_neardup_pairs(
         F.col(id_col), F.col(vec_col),
         lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        from mr_crawly_spark.operators.dedup import cap_bucket_size
+
+        b = cap_bucket_size(b, ["_bucket"], max_bucket_size)
     left = b.alias("l")
     right = b.alias("r")
     joined = (

@@ -94,6 +94,49 @@ def test_lsh_pairs_contain_all_high_jaccard_pairs(docs_df):
     assert exact <= lsh
 
 
+def test_lsh_hot_band_cap(spark):
+    """cap_bucket_size drops a pathological bucket (here: 60 copies of one
+    boilerplate text, whose identical signatures share every band key) while
+    pairs from healthy buckets survive. Without the cap that one bucket
+    alone contributes 60*59/2 pairs — the quadratic blowup the cap bounds."""
+    boiler = [(i, "identical boilerplate text repeated across the corpus")
+              for i in range(60)]
+    near = [
+        (100, "a genuinely unique document about distributed query engines"),
+        (101, "a genuinely unique document about distributed query engines"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id int, text string")
+    uncapped = D.minhash_lsh_pairs(df)
+    capped = D.minhash_lsh_pairs(df, max_band_size=50)
+    assert uncapped.count() >= 60 * 59 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got          # healthy bucket survives
+    assert all(a >= 100 for a, _ in got)  # hot bucket fully dropped
+
+    sh_capped = {(r["id_a"], r["id_b"])
+                 for r in D.simhash_neardup_pairs(df, max_band_size=50).collect()}
+    assert (100, 101) in sh_capped and all(a >= 100 for a, _ in sh_capped)
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8).tolist()
+    rows = [(i, base) for i in range(40)]  # hot bucket: identical vectors
+    u = rng.normal(size=8)
+    rows += [(100, u.tolist()), (101, (u * 1.0001).tolist())]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<float>",
+    )
+    capped = SIM.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=4, max_bucket_size=20
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)
+
+
 def test_simhash_near_dup_detection(docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs_df).collect()}
     assert sh[1] == sh[3]  # identical text -> identical fingerprint

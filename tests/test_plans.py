@@ -126,6 +126,40 @@ def test_slice_window_has_map_side_group_limit(spark):
     assert "WindowGroupLimit" not in plan_of(uncapped)
 
 
+def test_seen_base_layout_skips_exchange_and_sort(spark):
+    """The engine's seen BASE (repartition + sortWithinPartitions on the
+    join keys, localCheckpoint'ed with AQE off) must satisfy the anti-join's
+    distribution+ordering so EnsureRequirements touches ONLY the candidate
+    side — the mechanism that keeps a 10^10-row seen set from being
+    reshuffled and re-sorted every round (engine._seen_base)."""
+    seen = spark.range(100000).select(
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url"))
+    part = seen.repartition(8, F.col("url_hash"), F.col("url")) \
+               .sortWithinPartitions("url_hash", "url")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = part.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "hashpartitioning" in (
+        base._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    )
+    cand = spark.range(100).select(
+        F.concat(F.lit("https://h/p/"), (F.col("id") * 7).cast("string")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url"))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(cand.join(base, ["url_hash", "url"], "left_anti"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    # one exchange and one sort: the candidates'. The base contributes neither.
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Sort ") == 1, plan[:2000]
+
+
 def test_corpus_filter_single_shuffle_pure_jvm(spark):
     """The composed curation pass (gates -> dedup keeper) is one exchange
     (the fingerprint groupBy; every gate is a map-side predicate) with no
