@@ -367,7 +367,8 @@ def q_embed_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     planted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
     return SIM.embedding_neardup_pairs(
-        emb.unionByName(planted), threshold=0.98, n_planes=8
+        emb.unionByName(planted), threshold=0.98, n_planes=8,
+        dim=64,  # TESTDATA.md contract — skips the driver dim-probe job
     )
 
 

@@ -226,13 +226,17 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: bucket join on hyperplane signature
     (scale path — no all-pairs), exact cosine >= threshold within buckets.
     ``max_bucket_size`` drops pathological hot buckets before the self-join
-    (dedup.cap_bucket_size — e.g. a zero-vector bucket goes quadratic)."""
+    (dedup.cap_bucket_size — e.g. a zero-vector bucket goes quadratic).
+    Pass ``dim`` when known (schema/contract) to skip the driver-side
+    single-row probe job."""
     planes = deterministic_hyperplanes(
-        len(embeddings.select(vec_col).first()[0]), n_planes
+        dim if dim is not None else len(embeddings.select(vec_col).first()[0]),
+        n_planes,
     )
     b = embeddings.select(
         F.col(id_col), F.col(vec_col),
