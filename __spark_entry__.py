@@ -372,6 +372,41 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def _doc_media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing (stubbed codec): payload -> 16-byte md5 thumbnail.
+    The binary output is projected to its hex so the driver can hash it."""
+    resized = MM.resize_media(_doc_media(spark, sf_dir), target_w=32, target_h=32)
+    return resized.select(
+        "media_id", "orig_width", "orig_height", "width", "height",
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame sampling fan-out: one media row -> one row per 2nd frame
+    (deterministic 1..16 frame count), per-frame md5 features as f0..f7."""
+    frames = MM.sample_frames(_doc_media(spark, sf_dir), every_n=2)
+    return frames.select(
+        "media_id",
+        "n_frames",
+        "frame_index",
+        *[
+            F.round(F.element_at(F.col("features"), i + 1) * 255)
+            .cast("bigint")
+            .alias(f"f{i}")
+            for i in range(MM.FEATURE_DIM)
+        ],
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column media pipeline: deterministic payloads -> Arrow-batched
     mapInPandas feature extraction (decode step stubbed, plumbing real).
@@ -435,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -810,5 +847,36 @@ def oracle_sql() -> dict[str, str]:
                    (64 + ('0x' || substr(d, 3, 2))::INT % 192)::INTEGER AS height,
                    {mm_feats}
             FROM m
+        """,
+        "media_resize": """
+            SELECT 'img://' || doc_id::VARCHAR AS media_id,
+                   (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192)::INTEGER
+                       AS orig_width,
+                   (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)::INTEGER
+                       AS orig_height,
+                   32::INTEGER AS width, 32::INTEGER AS height,
+                   upper(md5(text || '|resize:32x32')) AS payload_hex
+            FROM documents
+        """,
+        "frame_sample": f"""
+            WITH d AS (
+              SELECT 'img://' || doc_id::VARCHAR AS media_id, text,
+                     (1 + ('0x' || substr(md5(text), 5, 2))::INT % 16)::BIGINT
+                         AS n_frames
+              FROM documents
+            ),
+            fr AS (
+              SELECT media_id, n_frames, text,
+                     unnest(range(0, n_frames, 2)) AS frame_index
+              FROM d
+            ),
+            h AS (
+              SELECT media_id, n_frames, frame_index,
+                     md5(text || '|frame:' || frame_index::VARCHAR) AS fd
+              FROM fr
+            )
+            SELECT media_id, n_frames, frame_index,
+                   {mm_feats.replace("substr(d,", "substr(fd,")}
+            FROM h
         """,
     }

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -95,6 +96,118 @@ def extract_features(
     return media.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
     ).mapInPandas(run, MEDIA_FEATURES)
+
+
+RESIZED_MEDIA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """binary payloads -> (media_id, orig dims, target dims, resized payload).
+
+    Same mapInPandas shape as extract_features; the fake path stands in a
+    16-byte md5-derived thumbnail (deterministic, so the DuckDB oracle can
+    reproduce the output bytes), the real path raises at the codec seam.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decoding unavailable in this environment; "
+                    "use decoder='fake'"
+                )
+            out = {"media_id": [], "orig_width": [], "orig_height": [],
+                   "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _ = _fake_decode(data)
+                thumb = hashlib.md5(
+                    data + f"|resize:{target_w}x{target_h}".encode()
+                ).digest()
+                out["media_id"].append(mid)
+                out["orig_width"].append(w)
+                out["orig_height"].append(h)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["payload"].append(thumb)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, RESIZED_MEDIA)
+
+
+FRAME_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one payload row FANS OUT to one row per
+    sampled frame (media_id, n_frames, frame_index, features[8]).
+
+    The fan-out inside mapInPandas is the Spark-relevant part — output
+    batches larger than input batches, schema fixed up front; the fake
+    decoder derives a deterministic frame count (1..16) and per-frame md5
+    features, the real path raises at the codec seam."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+    assert every_n >= 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decoding unavailable in this environment; "
+                    "use decoder='fake'"
+                )
+            out = {"media_id": [], "n_frames": [], "frame_index": [], "features": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = 1 + hashlib.md5(data).digest()[2] % 16
+                for idx in range(0, n_frames, every_n):
+                    fd = hashlib.md5(data + f"|frame:{idx}".encode()).digest()
+                    feats = np.frombuffer(
+                        fd[:FEATURE_DIM], dtype=np.uint8
+                    ).astype(np.float32) / 255.0
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(n_frames)
+                    out["frame_index"].append(idx)
+                    out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, FRAME_FEATURES)
 
 
 def media_spans_to_payloads(documents: DataFrame) -> DataFrame:

@@ -265,6 +265,47 @@ def test_multimodal_feature_extraction(spark):
     assert again["img://0"]["features"] == r0["features"]
 
 
+def test_resize_media_shapes_and_determinism(spark):
+    media = spark.createDataFrame(
+        [(f"img://{i}", f"payload-{i}".encode()) for i in range(20)],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.resize_media(media, 32, 32).collect()}
+    assert len(out) == 20
+    r = out["img://3"]
+    assert (r["width"], r["height"]) == (32, 32)
+    assert 64 <= r["orig_width"] < 256
+    assert len(bytes(r["payload"])) == 16  # md5 thumbnail stand-in
+    again = {x["media_id"]: x for x in MM.resize_media(media, 32, 32).collect()}
+    assert bytes(again["img://3"]["payload"]) == bytes(r["payload"])
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        MM.resize_media(media, decoder="real").collect()
+
+
+def test_sample_frames_fan_out(spark):
+    """One media row fans out to ceil(n_frames / every_n) rows with the
+    deterministic 1..16 frame count; features differ per frame."""
+    import hashlib as _hl
+    media = spark.createDataFrame(
+        [(f"v://{i}", f"video-{i}".encode()) for i in range(20)],
+        "media_id string, payload binary",
+    )
+    rows = MM.sample_frames(media, every_n=2).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {f"v://{i}" for i in range(20)}
+    for mid, rs in by_id.items():
+        payload = f"video-{mid.split('/')[-1].split('v:')[-1]}"
+        n = 1 + _hl.md5(mid.replace("v://", "video-").encode()).digest()[2] % 16
+        assert rs[0]["n_frames"] == n
+        assert len(rs) == (n + 1) // 2  # every 2nd frame from 0
+        assert sorted(r["frame_index"] for r in rs) == list(range(0, n, 2))
+    multi = [rs for rs in by_id.values() if len(rs) > 1][0]
+    feats = {tuple(r["features"]) for r in multi}
+    assert len(feats) == len(multi)  # per-frame features differ
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     media = spark.createDataFrame(
         [("m1", b"x")], "media_id string, payload binary"
