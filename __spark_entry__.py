@@ -351,6 +351,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_jaccard_lsh(spark, sf_dir):
+    """The at-scale near-dup composition: exact Jaccard computed ONLY on the
+    LSH candidate pairs (per-pair array_intersect — cost tracks candidates,
+    never the shingle-sharing cross product)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    )
+    pairs = D.minhash_lsh_pairs(both, n_hashes=8, bands=4, shingle_n=3)
+    return D.jaccard_on_candidates(both, pairs, threshold=0.05, shingle_n=3)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "jaccard_lsh": q_jaccard_lsh,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal_features,
@@ -749,6 +762,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "jaccard_lsh": f"""
+            WITH docs2 AS ({lsh_docs2}),
+            sh AS (
+              SELECT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT AS a,
+                     ('0x' || substr(md5(sh), 17, 15))::BIGINT | 1 AS b
+              FROM sh
+            ),
+            sig AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
+            banded AS (
+              {band_keys}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            shl AS (
+              SELECT doc_id, list_distinct({shingle_list}) AS shl
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            rated AS (
+              SELECT p.id_a, p.id_b,
+                     round(
+                       len(list_intersect(a.shl, b.shl))
+                       / greatest(len(a.shl) + len(b.shl)
+                                  - len(list_intersect(a.shl, b.shl)), 1),
+                       4) AS jaccard
+              FROM pairs p
+              JOIN shl a ON p.id_a = a.doc_id
+              JOIN shl b ON p.id_b = b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM rated WHERE jaccard >= 0.05
         """,
         "simhash_neardup": f"""
             WITH docs2 AS ({lsh_docs2}),

@@ -171,6 +171,45 @@ def jaccard_pairs(
     )
 
 
+def jaccard_on_candidates(
+    documents: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard for GIVEN candidate pairs — the at-scale
+    composition ``jaccard_on_candidates(docs, minhash_lsh_pairs(docs))``.
+
+    jaccard_pairs' shingle self-join is O(docs sharing a shingle) — fine on
+    a slice, quadratic-prone at 10^10 docs. This variant joins each side's
+    shingle ARRAY onto the (LSH-bounded) pair list and intersects per row
+    with array_intersect — cost tracks the candidate count, and both joins
+    are plain equi-joins Catalyst can broadcast/shuffle as sizes dictate.
+    Produces the same (id_a, id_b, jaccard) rows jaccard_pairs would for
+    those pairs (dedup of shingles first, round to 4)."""
+    sh = documents.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - common
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(common / F.greatest(union, F.lit(1)), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

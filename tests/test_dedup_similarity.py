@@ -137,6 +137,26 @@ def test_embedding_neardup_bucket_cap(spark):
     assert all(a >= 100 for a, _ in got)
 
 
+def test_jaccard_on_lsh_candidates_matches_exact(docs_df):
+    """The scale composition (LSH candidates -> per-pair array intersect)
+    agrees with the exhaustive shingle-join jaccard on every pair it rates,
+    and recovers all high-jaccard pairs (which LSH is guaranteed to keep)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs_df, threshold=0.05).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_on_candidates(
+            docs_df, D.minhash_lsh_pairs(docs_df), threshold=0.05
+        ).collect()
+    }
+    for pair, j in composed.items():
+        assert exact.get(pair) == j, pair
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(composed)
+
+
 def test_simhash_near_dup_detection(docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs_df).collect()}
     assert sh[1] == sh[3]  # identical text -> identical fingerprint
