@@ -5,8 +5,9 @@
 
 Mirrors the reference CLI (main.py:28-46: url, --max-pages, --num_workers,
 --retries, --debug) with the queue/worker knobs replaced by Spark-native
-ones (parallelism comes from the cluster; retries/backoff are engine
-constants shared with the oracle).
+ones (parallelism comes from the cluster). ``--retries`` maps to
+CrawlConfig.max_retries; the sequential oracle takes the same value so the
+golden suite stays in lockstep at any setting.
 """
 
 from __future__ import annotations
@@ -32,16 +33,47 @@ def build_parser() -> argparse.ArgumentParser:
                         "(overrides --seeds)")
     p.add_argument("--config", default=None, help="TOML config ([crawl]/[logging])")
     p.add_argument("--log-level", default=None)
-    p.add_argument("--max-pages", type=int, default=10**9)
-    p.add_argument("--max-rounds", type=int, default=100)
+    # crawl knobs default to None so the TOML/CLI merge can tell "explicitly
+    # passed" from "unset" — an explicit value ALWAYS wins over the config
+    # file, including explicit defaults and --no-use-bloom (ADVICE r2)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--retries", type=int, default=None,
+                   help="max fetch attempts per URL (reference main.py --retries)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--corpus-path", default=None,
                    help="bucketed parquet corpus (else generate in-memory)")
     p.add_argument("--salt-partitions", type=int, default=None)
-    p.add_argument("--use-bloom", action="store_true")
+    p.add_argument("--use-bloom", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--force-reset", action="store_true",
+                   help="allow a fresh bootstrap to clear a non-empty warehouse")
     p.add_argument("--master", default=None)
     return p
+
+
+def resolve_config(args: argparse.Namespace) -> CrawlConfig:
+    """Merge precedence: explicit CLI > TOML > CrawlConfig defaults. Every
+    crawl knob defaults to None in argparse, so "explicitly passed" is
+    distinguishable from "unset" — --no-use-bloom really disables a
+    TOML-enabled bloom, and passing a value equal to the dataclass default
+    still overrides the config file (ADVICE r2)."""
+    from mr_crawly_spark.config import config_from_toml
+
+    overrides = dict(
+        max_pages=args.max_pages,
+        max_rounds=args.max_rounds,
+        max_retries=args.retries,
+        salt_partitions=args.salt_partitions,
+        use_bloom=args.use_bloom,
+        force_reset=args.force_reset or None,
+    )
+    if args.config:
+        return config_from_toml(args.config, args.warehouse, **overrides)
+    return CrawlConfig(
+        warehouse=args.warehouse,
+        **{k: v for k, v in overrides.items() if v is not None},
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -71,23 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.corpus_path
         else CorpusFetcher(spark, documents=docs)
     )
-    # only explicitly-set CLI flags override the TOML (argparse defaults
-    # would otherwise silently clobber the config file)
-    overrides = dict(
-        max_pages=args.max_pages if args.max_pages != 10**9 else None,
-        max_rounds=args.max_rounds if args.max_rounds != 100 else None,
-        salt_partitions=args.salt_partitions,
-        use_bloom=args.use_bloom or None,
-    )
-    cfg = (
-        config_from_toml(args.config, args.warehouse, **overrides)
-        if args.config
-        else CrawlConfig(
-            warehouse=args.warehouse, max_pages=args.max_pages,
-            max_rounds=args.max_rounds, salt_partitions=args.salt_partitions,
-            use_bloom=args.use_bloom,
-        )
-    )
+    cfg = resolve_config(args)
     engine = CrawlEngine(spark, fetcher, robots, sitemaps, seeds, cfg)
     history = engine.run(fresh=not args.resume)
     print(json.dumps({

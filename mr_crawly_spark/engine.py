@@ -83,6 +83,14 @@ class CrawlConfig:
     # refetching (hits occur on recrawl/reparse; the default drain-loop
     # never refetches, so this only adds one small join per round)
     use_page_cache: bool = True
+    # destructive-bootstrap opt-in: bootstrap() on a NON-EMPTY warehouse
+    # refuses (the old crawl's data would be irreversibly rmtree'd) unless
+    # this is set — `main.py --force-reset`, or resume() to continue
+    force_reset: bool = False
+    # reference `main.py --retries` (reference main.py:33-38): max fetch
+    # attempts per URL. The sequential oracle takes the same value so the
+    # golden tests stay in lockstep at any setting.
+    max_retries: int = MAX_RETRIES
 
 
 def _transient_fail_col(url):
@@ -180,15 +188,24 @@ class CrawlEngine:
     def bootstrap(self) -> None:
         """Round 0: sitemap expansion -> initial frontier + seen (SURVEY §3.2).
 
-        A non-empty warehouse is CLEARED first: without this, re-running on
-        a used --warehouse silently merges the old run's seen/pages/links
-        deltas into the new crawl (URLs wrongly treated as already seen).
-        Use resume() to continue an existing run instead.
+        A non-empty warehouse must be CLEARED first: without this,
+        re-running on a used --warehouse silently merges the old run's
+        seen/pages/links deltas into the new crawl (URLs wrongly treated as
+        already seen). But clearing is irreversible, so it requires the
+        explicit ``force_reset`` opt-in — otherwise refuse and point the
+        operator at resume() / a fresh --warehouse / --force-reset.
         """
         if not self.catalog.is_empty():
+            if not self.cfg.force_reset:
+                raise RuntimeError(
+                    f"warehouse {self.cfg.warehouse} already holds a crawl; "
+                    "refusing to clear it. Use resume() (--resume) to "
+                    "continue, a new --warehouse, or force_reset=True "
+                    "(--force-reset) to discard the existing data."
+                )
             log.warning(
                 "warehouse %s is not empty — clearing for fresh bootstrap "
-                "(use resume() to continue the existing run)",
+                "(force_reset set)",
                 self.cfg.warehouse,
             )
             self.catalog.reset()
@@ -239,6 +256,12 @@ class CrawlEngine:
         last = self.catalog.last_round()
         if last is None:
             return False
+        # a crash mid-flush can leave table commits newer than the last
+        # COMPLETE round manifest (each table commits before the round
+        # manifest lands). Those orphaned deltas would otherwise merge with
+        # the re-run's fresh commits — duplicate seen/pages/links rows and
+        # stale frontier versions. Roll them back first.
+        self.catalog.rollback_to(last["round"])
         self.round = last["round"]
         self.visited_count = last["visited_count"]
         self.pending_count = last.get("pending_count")  # None -> recount lazily
@@ -438,8 +461,7 @@ class CrawlEngine:
 
     _OUTCOME_KEYS = ("n", "ok", "denied", "err404", "retries", "retry_back")
 
-    @staticmethod
-    def _outcome_aggs() -> list:
+    def _outcome_aggs(self) -> list:
         """The per-round metric aggregates — used either as an eager agg job
         (budget-risky rounds) or as a zero-job Observation riding the
         round's single materializing action (the common case)."""
@@ -452,7 +474,7 @@ class CrawlEngine:
             F.sum(
                 (
                     (F.col("_outcome") == "retry")
-                    & (F.col("retry_count") + 1 < MAX_RETRIES)
+                    & (F.col("retry_count") + 1 < self.cfg.max_retries)
                 ).cast("int")
             ).alias("retry_back"),
         ]
@@ -640,7 +662,7 @@ class CrawlEngine:
             F.when(F.col("_outcome") == "success", F.lit("fetched"))
             .when(F.col("_outcome") == "robots_denied", F.lit("robots_denied"))
             .when(F.col("_outcome") == "error404", F.lit("error"))
-            .when(F.col("retry_count") + 1 >= MAX_RETRIES, F.lit("error"))
+            .when(F.col("retry_count") + 1 >= self.cfg.max_retries, F.lit("error"))
             .otherwise(F.lit("pending"))
             .alias("status"),
             "priority",
@@ -651,10 +673,13 @@ class CrawlEngine:
             .alias("retry_count"),
             F.when(
                 (F.col("_outcome") == "retry")
-                & (F.col("retry_count") + 1 < MAX_RETRIES),
+                & (F.col("retry_count") + 1 < self.cfg.max_retries),
                 F.lit(t)
                 + F.element_at(
-                    F.array(*[F.lit(b) for b in BACKOFF]), F.col("retry_count") + 1
+                    F.array(*[F.lit(b) for b in BACKOFF]),
+                    # attempts beyond the schedule reuse the last backoff
+                    # step (only reachable when cfg.max_retries > len(BACKOFF))
+                    F.least(F.col("retry_count") + 1, F.lit(len(BACKOFF))),
                 ),
             )
             .otherwise(F.col("next_attempt_at"))

@@ -153,22 +153,33 @@ def recrawl_schedule(frontier: DataFrame, t_now: float) -> DataFrame:
         ),
         F.col("change_freq"),
     )
+    # the predicate references `status`, which one of the rewrites below
+    # replaces — materialize it as a column FIRST so every rewrite sees the
+    # ORIGINAL status (chained withColumns resolve against the running plan,
+    # so an inline predicate after the status rewrite would always be false
+    # and recrawled rows would keep their stale retry_count)
     due = (
         (F.col("status") == "fetched")
         & F.col("change_freq").isNotNull()
         & freq_s.isNotNull()
     )
     return (
-        frontier.withColumn(
+        frontier.withColumn("_due", due)
+        .withColumn(
             "next_attempt_at",
-            F.when(due, F.lit(t_now) + freq_s).otherwise(F.col("next_attempt_at")),
+            F.when(F.col("_due"), F.lit(t_now) + freq_s).otherwise(
+                F.col("next_attempt_at")
+            ),
         )
         .withColumn(
-            "status", F.when(due, F.lit("pending")).otherwise(F.col("status"))
+            "status",
+            F.when(F.col("_due"), F.lit("pending")).otherwise(F.col("status")),
         )
         .withColumn(
-            "retry_count", F.when(due, F.lit(0)).otherwise(F.col("retry_count"))
+            "retry_count",
+            F.when(F.col("_due"), F.lit(0)).otherwise(F.col("retry_count")),
         )
+        .drop("_due")
     )
 
 

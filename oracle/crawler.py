@@ -86,10 +86,19 @@ class OracleResult:
 
 
 class OracleCrawler:
-    def __init__(self, corpus: Corpus, max_pages: int = 10**9, max_rounds: int = 100):
+    def __init__(
+        self,
+        corpus: Corpus,
+        max_pages: int = 10**9,
+        max_rounds: int = 100,
+        max_retries: int = MAX_RETRIES,
+    ):
         self.c = corpus
         self.max_pages = max_pages
         self.max_rounds = max_rounds
+        # CLI `--retries` parity (reference main.py:33-38) — must equal the
+        # engine's CrawlConfig.max_retries for golden lockstep
+        self.max_retries = max_retries
         self.docs = {d["doc_id"]: d["spans"] for d in corpus.documents}
         self.sitemaps = {s["url"]: s for s in corpus.sitemaps_raw}
         self.res = OracleResult()
@@ -230,10 +239,13 @@ class OracleCrawler:
                 continue
             if is_transient_fail(e.url) and e.retry_count == 0:
                 e.retry_count += 1
-                if e.retry_count >= MAX_RETRIES:
+                if e.retry_count >= self.max_retries:
                     e.status = "error"
                 else:
-                    e.next_attempt_at = t + BACKOFF[e.retry_count - 1]
+                    # attempts beyond the schedule reuse the last step
+                    e.next_attempt_at = t + BACKOFF[
+                        min(e.retry_count, len(BACKOFF)) - 1
+                    ]
                 continue
             # 200 OK
             e.status = "fetched"

@@ -142,3 +142,30 @@ def test_mid_round_budget_cutoff(spark, small_corpus, max_pages):
     assert len(got) == max_pages
     got_seen = {r["url"] for r in engine.table("seen").collect()}
     assert got_seen == oracle.seen
+
+
+@pytest.mark.parametrize("retries", [1, 3])
+def test_retries_knob_lockstep(spark, small_corpus, retries):
+    """CLI --retries parity (reference main.py:33-38): the engine's
+    CrawlConfig.max_retries and the oracle's max_retries produce identical
+    crawls at any setting. retries=1 turns every transient 503 into a
+    permanent error (no second attempt); retries=3 is the default path.
+    small_corpus is known to contain transient-fail urls
+    (test_retries_and_robots_exercised)."""
+    oracle = OracleCrawler(small_corpus, max_retries=retries).run()
+    engine = build_engine(spark, small_corpus, max_retries=retries)
+    engine.run()
+    got = [r["url"] for r in engine.crawl_order().orderBy("rank").collect()]
+    assert got == oracle.crawl_order
+    got_seen = {r["url"] for r in engine.table("seen").collect()}
+    assert got_seen == oracle.seen
+    # the knob is live: at retries=1 the transient-fail urls never fetch
+    if retries == 1:
+        errored = {
+            r["url"]
+            for r in engine.table("frontier")
+            .filter((F.col("status") == "error") & (F.col("retry_count") > 0))
+            .collect()
+        }
+        assert errored  # 503 urls became permanent errors
+        assert not (errored & set(got))

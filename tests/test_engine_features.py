@@ -117,6 +117,10 @@ def test_recrawl_schedule_operator(spark):
         ("https://a.test/2", 2, "a.test", "fetched", 0.5, None, None, 0, 0.0, 0, "r"),
         ("https://a.test/3", 3, "a.test", "error", 0.5, "daily", None, 0, 0.0, 0, "r"),
         ("https://a.test/4", 4, "a.test", "pending", 0.5, "weekly", None, 1, 30.0, 0, "r"),
+        # fetched with a stale retry_count: the reset must see the ORIGINAL
+        # status (regression: an inline predicate evaluated after the status
+        # rewrite left this at 2 forever)
+        ("https://a.test/5", 5, "a.test", "fetched", 0.5, "daily", None, 2, 0.0, 0, "r"),
     ]
     fr = spark.createDataFrame(rows, S.FRONTIER)
     out = {r["url"]: r for r in recrawl_schedule(fr, t_now=1000.0).collect()}
@@ -127,6 +131,10 @@ def test_recrawl_schedule_operator(spark):
     assert out["https://a.test/2"]["status"] == "fetched"
     assert out["https://a.test/3"]["status"] == "error"
     assert out["https://a.test/4"]["next_attempt_at"] == 30.0
+    assert out["https://a.test/4"]["retry_count"] == 1  # pending row untouched
+    # a recrawled row's stale retry budget resets
+    assert out["https://a.test/5"]["status"] == "pending"
+    assert out["https://a.test/5"]["retry_count"] == 0
 
 
 # warehouse hygiene (ADVICE): fresh bootstrap on a used warehouse must not
@@ -135,7 +143,12 @@ def test_fresh_bootstrap_clears_used_warehouse(spark, tiny_corpus):
     wh = tempfile.mkdtemp(prefix="crawl_cl_")
     first = _engine(spark, tiny_corpus, wh=wh)
     first.run()
-    again = _engine(spark, tiny_corpus, wh=wh, run_id="run_0002")
+    # without the destructive opt-in, a fresh bootstrap on a used warehouse
+    # refuses instead of silently wiping the previous crawl (ADVICE r2)
+    refused = _engine(spark, tiny_corpus, wh=wh, run_id="run_0002")
+    with pytest.raises(RuntimeError, match="force_reset"):
+        refused.bootstrap()
+    again = _engine(spark, tiny_corpus, wh=wh, run_id="run_0002", force_reset=True)
     again.run(fresh=True)  # would stall at 0 visited if old seen rows leaked
     baseline = _engine(spark, tiny_corpus)
     baseline.run()
@@ -239,3 +252,31 @@ def test_config_from_toml(tmp_path):
     bad.write_text("[crawl]\nmax_pagez = 7\n")
     with pytest.raises(ValueError, match="max_pagez"):
         config_from_toml(str(bad), "/tmp/wh")
+
+
+def test_cli_toml_merge_precedence(tmp_path):
+    """CLI > TOML > defaults, with explicit values always winning — incl.
+    --no-use-bloom over a TOML-enabled bloom and explicitly-passed values
+    equal to the dataclass defaults (ADVICE r2: the old sentinel comparison
+    treated those as unset)."""
+    from main import build_parser, resolve_config
+
+    toml = tmp_path / "crawl.toml"
+    toml.write_text("[crawl]\nmax_pages = 7\nuse_bloom = true\nmax_rounds = 50\n")
+
+    def cfg(argv):
+        return resolve_config(build_parser().parse_args(argv))
+
+    base = ["--warehouse", "/tmp/wh", "--config", str(toml)]
+    # TOML applies when the CLI is silent
+    c = cfg(base)
+    assert (c.max_pages, c.use_bloom, c.max_rounds) == (7, True, 50)
+    # the CLI can DISABLE a TOML-enabled boolean
+    assert cfg(base + ["--no-use-bloom"]).use_bloom is False
+    # an explicit CLI value equal to the dataclass default still overrides
+    assert cfg(base + ["--max-rounds", "100"]).max_rounds == 100
+    assert cfg(base + ["--max-pages", str(10**9)]).max_pages == 10**9
+    # --retries threads through to max_retries; no config file needed
+    c2 = cfg(["--warehouse", "/tmp/wh", "--retries", "1"])
+    assert c2.max_retries == 1
+    assert cfg(["--warehouse", "/tmp/wh"]).max_retries == 3

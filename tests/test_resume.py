@@ -88,3 +88,33 @@ def test_partition_invariance(spark, tiny_corpus):
     )
     salted.run()
     assert _final_state(plain) == _final_state(salted)
+
+
+def test_resume_discards_orphaned_table_commits(spark, tiny_corpus):
+    """A crash can land between a table commit and the round manifest (the
+    manifest is written last). Those orphaned deltas must NOT merge with the
+    re-run's fresh commits: resume() rolls the catalog back to the last
+    COMPLETE round first (ADVICE r2)."""
+    wh = tempfile.mkdtemp(prefix="crawl_orph_")
+    eng = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
+    eng.run()
+    want = _final_state(eng)
+    final_round = eng.round
+
+    # rewind to round 1, then simulate a crash mid-flush of round 2: the
+    # seen/pages table commits landed, the round manifest did not
+    eng.catalog.rollback_to(1)
+    poison = spark.createDataFrame(
+        [(999999, "https://orphan.test/x", 2, "run_0001")],
+        "url_hash long, url string, first_seen_round int, run_id string",
+    )
+    eng.catalog.commit("seen", poison, 2, mode="delta")
+
+    again = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
+    assert again.resume()
+    assert again.round == 1  # resumed at the last complete round
+    again.run(fresh=False)
+    assert again.round == final_round
+    got = _final_state(again)
+    assert got == want  # identical to the uninterrupted run...
+    assert "https://orphan.test/x" not in got[1]  # ...orphan delta is gone
