@@ -308,24 +308,63 @@ def q_embed_norm(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 # non-SQL-expressible (rows-only check here; correctness proven in tests/)
 
+# the crawl_seen corpus shape — shared by the Spark query and the oracle
+# materializer so both sides crawl the identical deterministic web
+_CRAWL_SEEN_CORPUS = dict(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)
+
+
 def q_crawl_seen(spark, sf_dir):
     """The crawl engine end-to-end on the deterministic synthetic web
-    (sf_dir-independent): final URL-seen set. Oracle-equivalence is the
-    pytest golden suite (tests/test_crawl_oracle.py)."""
+    (sf_dir-independent): final URL-seen set. The DuckDB oracle reads the
+    sequential python crawler's seen-set, materialized as parquet by
+    oracle_sql() (the corpus is a seedless pure function, so both sides are
+    reproducible from the repo alone); the full golden suite additionally
+    asserts order/links/spans equality (tests/test_crawl_oracle.py)."""
     import tempfile
 
     from mr_crawly_spark.datagen import corpus_to_spark, generate_corpus
     from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
     from mr_crawly_spark.sources.corpus import CorpusFetcher
 
-    corpus = generate_corpus(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)
+    corpus = generate_corpus(**_CRAWL_SEEN_CORPUS)
     docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
     eng = CrawlEngine(
         spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
         CrawlConfig(warehouse=tempfile.mkdtemp(prefix="entry_crawl_")),
     )
     eng.run()
-    return eng.table("seen").select("url", "first_seen_round")
+    return eng.table("seen").select(
+        "url", F.col("first_seen_round").cast("bigint").alias("first_seen_round")
+    )
+
+
+def _materialize_crawl_seen_oracle() -> str:
+    """Run the pure-python sequential oracle (oracle/crawler.py — no Spark)
+    on the q_crawl_seen corpus and write its seen-set as parquet, returning
+    the absolute path. Called from oracle_sql(), so by the time DuckDB
+    executes the returned SQL the file exists and is fresh."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_crawly_spark.datagen import generate_corpus
+    from oracle.crawler import OracleCrawler
+
+    res = OracleCrawler(generate_corpus(**_CRAWL_SEEN_CORPUS)).run()
+    rows = sorted((e.url, e.discovered_round) for e in res.frontier.values())
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "oracle", "crawl_seen_expected.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "first_seen_round": pa.array([r for _, r in rows], pa.int64()),
+        }),
+        path,
+    )
+    return path
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -473,8 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "cosine_topk": q_cosine_topk,
         "embed_norm": q_embed_norm,
-        # rows-only below: only the crawl engine itself has no SQL twin
-        # (its oracle is the sequential python crawler in tests/)
+        # crawl_seen's oracle is the sequential python crawler, surfaced to
+        # DuckDB as a materialized parquet (see _materialize_crawl_seen_oracle)
         "crawl_seen": q_crawl_seen,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -571,7 +610,12 @@ def oracle_sql() -> dict[str, str]:
     mm_feats = ", ".join(
         f"('0x' || substr(d, {2 * i + 1}, 2))::BIGINT AS f{i}" for i in range(8)
     )
+    crawl_seen_path = _materialize_crawl_seen_oracle()
     return {
+        "crawl_seen": f"""
+            SELECT url, first_seen_round
+            FROM read_parquet('{crawl_seen_path}')
+        """,
         "seen_antijoin": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
