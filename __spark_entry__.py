@@ -854,10 +854,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             sums AS (SELECT doc_id, {sim60_sums} FROM words GROUP BY doc_id),
             sh AS (SELECT doc_id, {sim60_fp} AS simhash FROM sums),
+            -- 6 bands x 10 bits: recall guaranteed to hamming <= 5 (the
+            -- operator's default contract; harness filters at 4)
             banded AS (
               SELECT doc_id, simhash, band,
-                     (simhash >> (band * 15)) & 32767 AS key
-              FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                     (simhash >> (band * 10)) & 1023 AS key
+              FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS band)
             )
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                    bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming

@@ -153,7 +153,8 @@ def frontier_throughput_job(
         F.lit(0).alias("discovered_round"),
     )
     sliced = select_slice(frontier, budgets, t_round=1.0,
-                          salt_partitions=salt_partitions)
+                          salt_partitions=salt_partitions,
+                          budget_rows=n_hosts)
     n_ready = sliced.count()
     elapsed = time.monotonic() - t0
     seen.unpersist()

@@ -91,6 +91,13 @@ class CrawlConfig:
     # attempts per URL. The sequential oracle takes the same value so the
     # golden tests stay in lockstep at any setting.
     max_retries: int = MAX_RETRIES
+    # width of the round's materializing checkpoint and the flush deltas:
+    # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
+    # sandbox scale this floors at min_write_partitions (bounded file
+    # count); a cluster round of millions of touched rows widens instead of
+    # funneling its final projection through 8 tasks (verdict r2 #2).
+    rows_per_write_task: int = 1_000_000
+    min_write_partitions: int = 8
 
 
 def _transient_fail_col(url):
@@ -120,8 +127,10 @@ class CrawlEngine:
         self.seeds = seeds
         self.cfg = config
         self.catalog = SnapshotCatalog(spark, config.warehouse)
-        # tiny, reused every round (broadcast in select_slice)
+        # reused every round; broadcast in select_slice only while the rule
+        # count stays under the gate (see _robots_row_bound)
         self.budgets = host_budgets(self.robots).localCheckpoint(eager=False)
+        self._robots_rows: int | None = None
         self.visited_count = 0
         self.round = 0
         # driver-tracked counters (exact, updated per round) — avoid
@@ -484,6 +493,29 @@ class CrawlEngine:
         row = df.agg(*self._outcome_aggs()).first()
         return {k: int(row[k] or 0) for k in self._OUTCOME_KEYS}
 
+    def _write_width(self, approx_rows: int | None) -> int:
+        """Partition width for a materializing write, scaled off the caller's
+        driver-tracked row bound (never a count job). Floors at
+        min_write_partitions so tiny rounds keep small file counts."""
+        if approx_rows is None:
+            return self.cfg.min_write_partitions
+        return max(
+            self.cfg.min_write_partitions,
+            -(-int(approx_rows) // self.cfg.rows_per_write_task),
+        )
+
+    def _robots_row_bound(self) -> int:
+        """Rules-table row count, measured ONCE per crawl (the frame is
+        checkpointed and static). It size-gates both the robots-rules and
+        the per-host-budgets broadcast: under BROADCAST_ROW_LIMIT the hint
+        is forced, above it the joins are left to AQE (verdict r2 #1 — an
+        unconditional broadcast OOMs the driver at ~10^7 ruled hosts).
+        budgets has at most one row per ruled host, so the same bound
+        covers it."""
+        if self._robots_rows is None:
+            self._robots_rows = self.robots.count()
+        return self._robots_rows
+
     def run_round(self) -> dict:
         """Execute one crawl round; returns the round's metric dict.
 
@@ -507,8 +539,11 @@ class CrawlEngine:
             # host_budgets clamps every k_host to this, so the literal cap is
             # lossless — and it unlocks the map-side WindowGroupLimit
             k_cap=MAX_PER_HOST_PER_ROUND,
+            budget_rows=self._robots_row_bound(),
         )
-        gated = robots_gate(sliced, self.robots)
+        gated = robots_gate(
+            sliced, self.robots, approx_rule_rows=self._robots_row_bound()
+        )
         fetched = self._fetch_with_cache(gated)
 
         classified_base = (
@@ -695,8 +730,19 @@ class CrawlEngine:
             ).unionByName(round_updates)
         # THE round's materializing action: one localCheckpoint runs the
         # whole pipeline (slice -> fetch -> classify -> parse -> anti-join ->
-        # updates); the Observations deliver every count for free
-        updates_ck = round_updates.coalesce(8).localCheckpoint()
+        # updates); the Observations deliver every count for free. Width
+        # tracks the update-set bound: carried updates + this round's slice
+        # + last round's link discovery as the new-url proxy (exact counts
+        # only exist after materialization — an underestimate just means
+        # slightly larger partitions, never wrong results).
+        updates_bound = (
+            self._updates_count
+            + (self.pending_count or 0)
+            + int(self._last_metrics.get("new_urls", 0) or 0)
+        )
+        updates_ck = round_updates.coalesce(
+            self._write_width(updates_bound)
+        ).localCheckpoint()
         n_new = int(obs_new.get["n_new"] or 0)
         if cnt is None:
             cnt = {k: int(obs_cls.get[k] or 0) for k in self._OUTCOME_KEYS}
@@ -772,6 +818,8 @@ class CrawlEngine:
         r = self.round
         if getattr(self, "_flushed_round", None) == r:
             return
+        # captured before the frontier branch may zero it at compaction
+        touched = self._updates_count
         # NOTE: _flushed_round is only set at the END — an interrupted flush
         # (e.g. a streaming wrapper's stop() landing mid-write) must be
         # retryable; each table clears its pending state right after its own
@@ -805,7 +853,13 @@ class CrawlEngine:
                 df = deltas[0]
                 for d in deltas[1:]:
                     df = df.unionByName(d)
-                self.catalog.commit(table, df.coalesce(8), r, mode="delta")
+                # width off the touched-row bound since the last flush (the
+                # update-set counter upper-bounds every per-table delta
+                # except links, which fans out per page — scale it)
+                bound = touched * (4 if table == "links" else 1)
+                self.catalog.commit(
+                    table, df.coalesce(self._write_width(bound)), r, mode="delta"
+                )
                 self._deltas[table] = []
         if self.cfg.use_bloom and self._blooms is not None:
             # persist the Bloom next to the seen snapshot (resume/scale path)

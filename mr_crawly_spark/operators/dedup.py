@@ -239,16 +239,41 @@ def simhash64(
     return summed.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    documents: DataFrame, max_hamming: int = 8, id_col: str = "doc_id",
+def simhash_banded_pairs(
+    sh: DataFrame,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    bands: int = 6,
     max_band_size: int | None = None,
+    allow_missed_pairs: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs by banding the 60-bit fingerprint into 4
-    15-bit bands (docs within hamming distance <= 3 of each other share at
-    least one exact band — classic pigeonhole LSH for SimHash); verify with
-    bit_count of xor. ``max_band_size`` caps hot buckets (cap_bucket_size)."""
-    sh = simhash64(documents)
-    bands = sh.select(
+    """Banded near-dup join over precomputed fingerprints ``(id_col,
+    simhash)``: the 60-bit fingerprint splits into ``bands`` equal bands;
+    candidates share at least one exact band, then ``bit_count(xor)``
+    verifies the true hamming distance.
+
+    RECALL CONTRACT (pigeonhole): a pair at hamming distance d can differ
+    in at most d bands, so it is GUARANTEED to share a band only when
+    d <= bands - 1. ``max_hamming`` defaults to that guarantee (5 at the
+    6x10-bit default); asking for more without ``allow_missed_pairs=True``
+    raises — pairs beyond the guarantee that spread their differing bits
+    across every band would be silently missed (verdict r2: the old 4x15
+    default promised hamming 8 but guaranteed only 3).
+
+    ``max_band_size`` caps hot buckets (cap_bucket_size)."""
+    assert 60 % bands == 0, "bands must divide the 60-bit fingerprint"
+    width = 60 // bands
+    guarantee = bands - 1
+    if max_hamming is None:
+        max_hamming = guarantee
+    if max_hamming > guarantee and not allow_missed_pairs:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {bands}x{width}-bit "
+            f"banding guarantee (<= {guarantee}): pairs above it can be "
+            "silently missed. Raise `bands`, lower `max_hamming`, or pass "
+            "allow_missed_pairs=True to accept best-effort recall."
+        )
+    banded = sh.select(
         id_col,
         "simhash",
         F.explode(
@@ -256,18 +281,18 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    bands = cap_bucket_size(bands, ["band", "key"], max_band_size)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    banded = cap_bucket_size(banded, ["band", "key"], max_band_size)
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -280,4 +305,24 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    max_band_size: int | None = None,
+    bands: int = 6,
+    allow_missed_pairs: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs over documents: simhash64 -> banded join
+    (see simhash_banded_pairs for the recall contract)."""
+    return simhash_banded_pairs(
+        simhash64(documents, id_col=id_col),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        bands=bands,
+        max_band_size=max_band_size,
+        allow_missed_pairs=allow_missed_pairs,
     )

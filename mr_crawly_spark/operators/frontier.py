@@ -33,6 +33,7 @@ def select_slice(
     salt_partitions: int | None = None,
     salt: int = 16,
     k_cap: int | None = None,
+    budget_rows: int | None = None,
 ) -> DataFrame:
     """Eligible pending entries, per-host top-k (O3), salted for skew.
 
@@ -43,7 +44,13 @@ def select_slice(
     window exchange — at a 10^10-row pending set the shuffle input drops
     from every eligible row to <= k_cap rows per host per map partition.
     The exact per-host budget (a column) still applies after the window.
+
+    ``budget_rows``: caller's upper bound on the budgets table (one row per
+    host with robots rules). The broadcast is forced only under
+    politeness.BROADCAST_ROW_LIMIT — at ~10^7+ ruled hosts the budgets
+    frame is left to AQE instead of an unconditional driver broadcast.
     """
+    from mr_crawly_spark.operators.politeness import BROADCAST_ROW_LIMIT
 
     def rank_filter(rn_col):
         cond = rn_col <= F.col("k_host")
@@ -56,7 +63,10 @@ def select_slice(
     eligible = frontier.filter(
         (F.col("status") == "pending") & (F.col("next_attempt_at") <= F.lit(t_round))
     )
-    eligible = eligible.join(F.broadcast(budgets), "host", "left").withColumn(
+    b = budgets
+    if budget_rows is not None and budget_rows <= BROADCAST_ROW_LIMIT:
+        b = F.broadcast(b)
+    eligible = eligible.join(b, "host", "left").withColumn(
         "k_host", F.coalesce(F.col("k_host"), F.lit(DEFAULT_K_HOST))
     )
     order = [

@@ -6,14 +6,15 @@ URLs containing "sitemap" bypass robots, and anything unmatched / hosts
 without rules default to ALLOW.
 
 Spark-first design: the matcher is a **pure join + window** — no UDF at all.
-Candidates broadcast-join the rules table on ``host``; ``startswith`` does
-the prefix theta inside whole-stage codegen; the first matching rule in
-``rule_order`` wins via a ``min(struct(rule_order, allow))`` aggregation
-(struct min orders lexicographically, rule_order first). At 10^10-URL scale
-the robots table for the crawled hosts is millions of rows — still far below
-the candidate volume, so broadcast (or a host-partitioned shuffle join when
-it outgrows the broadcast threshold) is the right physical plan; there is no
-Python in the hot path.
+Candidates join the rules table on ``host``; ``startswith`` does the prefix
+theta inside whole-stage codegen; the first matching rule in ``rule_order``
+wins via a ``min(struct(rule_order, allow))`` aggregation (struct min orders
+lexicographically, rule_order first). At 10^10-URL scale the robots table
+for the crawled hosts is millions of rows, so the broadcast is SIZE-GATED
+like the fetch join (sources/corpus.py): forced only when the caller's row
+bound fits BROADCAST_ROW_LIMIT, else the plan is left to AQE to pick
+broadcast vs host-partitioned shuffle from runtime sizes. There is no
+Python in the hot path either way.
 """
 
 from __future__ import annotations
@@ -29,18 +30,35 @@ from mr_crawly_spark.datagen import (
 from mr_crawly_spark.functions.urls import url_path_col
 
 
-def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+# mirror of sources/corpus.py BROADCAST_ROW_LIMIT: above this many rule rows
+# we stop FORCING a broadcast and let AQE pick the physical join — at 10^7+
+# crawled hosts the rules table no longer fits a driver broadcast
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def robots_gate(
+    candidates: DataFrame,
+    robots: DataFrame,
+    approx_rule_rows: int | None = None,
+) -> DataFrame:
     """Append boolean ``allowed`` to ``candidates`` (must carry url, host).
 
     Semantics: first rule (by rule_order) whose path_prefix prefixes the URL
     path decides; no rule / no match -> allow; "sitemap" substring -> allow
     (site_downloader.py:49-52).
+
+    ``approx_rule_rows``: caller's cheap upper bound on the rules-table size
+    (the engine counts its checkpointed robots frame once per crawl). The
+    broadcast is FORCED only under BROADCAST_ROW_LIMIT; unknown or huge ->
+    plain join, AQE converts to broadcast at runtime iff actually small.
     """
     cand = candidates.withColumn("_path", url_path_col(F.col("url")))
     rules = robots.select("host", "rule_order", "allow", "path_prefix")
+    if approx_rule_rows is not None and approx_rule_rows <= BROADCAST_ROW_LIMIT:
+        rules = F.broadcast(rules)
     matched = (
         cand.select("url", "host", "_path")
-        .join(F.broadcast(rules), "host", "inner")
+        .join(rules, "host", "inner")
         .filter(F.col("_path").startswith(F.col("path_prefix")))
         .groupBy("url")
         .agg(F.min(F.struct("rule_order", "allow")).alias("_first_rule"))

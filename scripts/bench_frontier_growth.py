@@ -82,7 +82,7 @@ def time_slice(spark, path: str, k_cap: int | None, repeats: int = 3) -> dict:
         t0 = time.monotonic()
         sliced = select_slice(
             frontier, budgets, t_round=1.0,
-            salt_partitions=32, salt=SALT, k_cap=k_cap,
+            salt_partitions=32, salt=SALT, k_cap=k_cap, budget_rows=N_HOSTS,
         )
         n_slice = sliced.count()
         dt = time.monotonic() - t0

@@ -95,7 +95,8 @@ def seg_full():
         "host string, k_host int",
     )
     return select_slice(frontier, budgets, t_round=1.0,
-                        salt_partitions=salt_partitions)
+                        salt_partitions=salt_partitions,
+                        budget_rows=n_hosts)
 
 results = {}
 for name, fn in [("canon", seg_canon), ("hash", seg_hash),

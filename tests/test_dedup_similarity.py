@@ -165,9 +165,40 @@ def test_simhash_near_dup_detection(docs_df):
     assert ham_12 < ham_14  # near-dup closer than unrelated
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_neardup_pairs(docs_df, max_hamming=10).collect()
+        for r in D.simhash_neardup_pairs(
+            docs_df, max_hamming=10, allow_missed_pairs=True
+        ).collect()
     }
     assert pairs.get((1, 3)) == 0
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Pigeonhole property (verdict r2 #5): at the 6x10-bit default every
+    pair within hamming <= 5 is recovered — exercised at the WORST case
+    (differing bits spread across distinct bands) for every distance
+    1..5 — and asking beyond the guarantee raises instead of silently
+    missing pairs."""
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [(0, base)]
+    for d in range(1, 6):
+        # flip d bits in d DIFFERENT bands (positions 5, 15, 25, ... —
+        # one per 10-bit band): no band survives by luck of locality
+        v = base
+        for k in range(d):
+            v ^= 1 << (10 * k + 5)
+        rows.append((d, v))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_banded_pairs(sh, max_hamming=5).collect()
+    }
+    for d in range(1, 6):
+        assert got[(0, d)] == d  # every planted distance fully recovered
+    with pytest.raises(ValueError, match="guarantee"):
+        D.simhash_banded_pairs(sh, max_hamming=6)
+    with pytest.raises(ValueError, match="guarantee"):
+        D.simhash_neardup_pairs(spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"), max_hamming=9)
 
 
 def test_cosine_topk_matches_numpy(spark):
@@ -342,3 +373,30 @@ def test_media_spans_payloads(spark, small_corpus):
     n = payloads.count()
     assert n > 0
     assert payloads.filter(F.col("payload").isNull()).count() == 0
+
+
+def test_lsh_indexed_equals_oneshot(spark):
+    """verdict r2 #3: the build-once LSH index (bucket once, persist
+    partitioned by _bucket, query many) returns exactly what the one-shot
+    helper returns for every query — queries prune to probed buckets
+    instead of re-scoring the full table."""
+    rng = [
+        (i, [((i * 13 + j * 5) % 23 - 11) / 11.0 for j in range(16)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    indexed, planes = SIM.lsh_index(df, n_planes=4, dim=16)
+    indexed = indexed.repartition(4, "_bucket").persist()
+    try:
+        for qid in (7, 123):
+            q = rng[qid][1]
+            got = SIM.ann_lsh_topk_indexed(indexed, planes, q, k=10).collect()
+            want = SIM.ann_lsh_topk(df, q, k=10, n_planes=4).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+            # the indexed query's scan is bucket-pruned, not a full pass
+            plan = SIM.ann_lsh_topk_indexed(
+                indexed, planes, q, k=10
+            )._jdf.queryExecution().optimizedPlan().toString()
+            assert "_bucket" in plan and " IN " in plan
+    finally:
+        indexed.unpersist()

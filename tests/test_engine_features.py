@@ -280,3 +280,37 @@ def test_cli_toml_merge_precedence(tmp_path):
     c2 = cfg(["--warehouse", "/tmp/wh", "--retries", "1"])
     assert c2.max_retries == 1
     assert cfg(["--warehouse", "/tmp/wh"]).max_retries == 3
+
+
+def test_write_width_scales_with_round_volume(spark, tiny_corpus):
+    """verdict r2 #2: the round's materializing checkpoint width is a
+    function of the touched-row bound, not a hard-coded coalesce(8) — a
+    cluster round of millions of rows must not funnel through 8 tasks."""
+    # pure width math first
+    eng = _engine(spark, tiny_corpus, rows_per_write_task=1_000_000)
+    assert eng._write_width(None) == 8
+    assert eng._write_width(100) == 8          # sandbox floor
+    assert eng._write_width(80_000_000) == 80  # cluster round widens
+    # end-to-end: coalesce is a CAP — it follows the natural (shuffle)
+    # partitioning up to the computed width. With 24 shuffle partitions and
+    # rows_per_write_task=1 the frontier delta must land with >8 files
+    # (the old hard-coded coalesce(8) always funneled to <=8).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "24")
+    try:
+        wide = _engine(
+            spark, tiny_corpus, rows_per_write_task=1, checkpoint_interval=1
+        )
+        wide.run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    deltas = [
+        mm for mm in wide.catalog._manifests("frontier") if mm["kind"] == "delta"
+    ]
+    assert deltas and max(d["n_files"] for d in deltas) > 8
+    # outputs unchanged vs the default width
+    base = _engine(spark, tiny_corpus)
+    base.run()
+    got = {r["url"] for r in wide.table("seen").collect()}
+    want = {r["url"] for r in base.table("seen").collect()}
+    assert got == want
