@@ -847,20 +847,38 @@ class CrawlEngine:
                 self._flushes_since_compact += 1
                 # base + checkpointed updates stay valid in memory
             self._frontier_committed_round = r
-        for table in ("seen", "pages", "links"):
+        def _commit_table(table: str) -> None:
             deltas = self._deltas[table]
-            if deltas:
-                df = deltas[0]
-                for d in deltas[1:]:
-                    df = df.unionByName(d)
-                # width off the touched-row bound since the last flush (the
-                # update-set counter upper-bounds every per-table delta
-                # except links, which fans out per page — scale it)
-                bound = touched * (4 if table == "links" else 1)
-                self.catalog.commit(
-                    table, df.coalesce(self._write_width(bound)), r, mode="delta"
-                )
-                self._deltas[table] = []
+            if not deltas:
+                return
+            df = deltas[0]
+            for d in deltas[1:]:
+                df = df.unionByName(d)
+            # width off the touched-row bound since the last flush (the
+            # update-set counter upper-bounds every per-table delta
+            # except links, which fans out per page — scale it)
+            bound = touched * (4 if table == "links" else 1)
+            self.catalog.commit(
+                table, df.coalesce(self._write_width(bound)), r, mode="delta"
+            )
+            self._deltas[table] = []
+
+        # the three append-only deltas are independent writes over already-
+        # persisted round frames — submit them as CONCURRENT Spark jobs
+        # (each is small; overlapping their scheduling/commit latency takes
+        # the flush from 3 serial write jobs to one wave). Each table still
+        # clears its own pending list only after its commit, so a failed
+        # write stays retryable table-by-table.
+        import concurrent.futures as _cf
+
+        pending_tables = [t for t in ("seen", "pages", "links") if self._deltas[t]]
+        if len(pending_tables) > 1:
+            with _cf.ThreadPoolExecutor(len(pending_tables)) as pool:
+                for fut in [pool.submit(_commit_table, t) for t in pending_tables]:
+                    fut.result()
+        else:
+            for t in pending_tables:
+                _commit_table(t)
         if self.cfg.use_bloom and self._blooms is not None:
             # persist the Bloom next to the seen snapshot (resume/scale path)
             seen_ops.write_bloom_sidecar(
@@ -888,10 +906,24 @@ class CrawlEngine:
         next_attempt_at = t_now + interval, then run()/run_round() continues
         the crawl — re-fetches are served from the page cache (S4/J2) when
         the content is already archived. Returns the new pending count and
-        commits the rescheduled frontier as a resume point."""
+        commits the rescheduled frontier as a resume point.
+
+        The sitemaps are also RE-MAPPED (S8 tail, reference data.py:178-216
+        insert-else-update): a fresh expansion of sitemaps_raw commits as a
+        new delta whose loc/priority/frequency/modified/status replace the
+        existing record per (source_url, index_url) in the last-writer-wins
+        view — a changed live sitemap (new priority/lastmod) surfaces in
+        engine.table("sitemaps") after the recrawl cycle."""
         if any(self._deltas.values()) or self._frontier_updates is not None:
             self.flush()
         t = t_now if t_now is not None else self.round * ROUND_SECONDS
+        remapped, _ = expand_sitemaps(self.seeds, self.sitemaps_raw)
+        self.catalog.commit(
+            "sitemaps",
+            remapped.withColumn("status", F.lit("remapped")),
+            self.round,
+            mode="delta",
+        )
         frontier = self.catalog.load_merge(
             "frontier", ("url_hash", "url"), max_round=self.round
         )

@@ -314,3 +314,43 @@ def test_write_width_scales_with_round_volume(spark, tiny_corpus):
     got = {r["url"] for r in wide.table("seen").collect()}
     want = {r["url"] for r in base.table("seen").collect()}
     assert got == want
+
+
+def test_sitemap_remap_updates_existing_records(spark, tiny_corpus):
+    """S8 tail (reference data.py:178-216): scheduling a recrawl re-expands
+    the sitemaps; a record whose live sitemap changed (new priority/lastmod)
+    is REPLACED per (source_url, index_url) in the merged view, like the
+    reference's insert-else-update."""
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, tiny_corpus)
+    eng = CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
+        CrawlConfig(warehouse=tempfile.mkdtemp(prefix="crawl_rm_")),
+    )
+    eng.run()
+    before = {
+        (r["source_url"], r["index_url"]): (r["priority"], r["modified"], r["status"])
+        for r in eng.table("sitemaps").collect()
+    }
+    assert before and all(s == "mapped" for _, _, s in before.values())
+
+    # the live web changed: every leaf sitemap now announces a new priority
+    # and lastmod. Re-point the engine at the updated source and recrawl.
+    eng.sitemaps_raw = sitemaps.withColumn(
+        "first_priority",
+        F.when(~F.col("is_index"), F.lit(0.9)).otherwise(F.col("first_priority")),
+    ).withColumn(
+        "first_lastmod",
+        F.when(~F.col("is_index"), F.lit("2026-01-01")).otherwise(F.col("first_lastmod")),
+    )
+    eng.schedule_recrawl(t_now=-(10**8))
+
+    after = {
+        (r["source_url"], r["index_url"]): (r["priority"], r["modified"], r["status"])
+        for r in eng.table("sitemaps").collect()
+    }
+    assert set(after) == set(before)  # same keys: update, not insert
+    changed = [k for k in after if after[k] != before[k]]
+    assert changed  # re-mapping actually rewrote records
+    for k in changed:
+        pri, mod, status = after[k]
+        assert (pri, mod, status) == (0.9, "2026-01-01", "remapped")
