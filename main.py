@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bucketed parquet corpus (else generate in-memory)")
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--use-bloom", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--use-cuckoo", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--debug", action="store_true",
+                   help="DEBUG logging (reference main.py --debug)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--force-reset", action="store_true",
                    help="allow a fresh bootstrap to clear a non-empty warehouse")
@@ -66,6 +69,7 @@ def resolve_config(args: argparse.Namespace) -> CrawlConfig:
         max_retries=args.retries,
         salt_partitions=args.salt_partitions,
         use_bloom=args.use_bloom,
+        use_cuckoo=args.use_cuckoo,
         force_reset=args.force_reset or None,
     )
     if args.config:
@@ -84,8 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = build_parser().parse_args(argv)
-    level = args.log_level or (
-        logging_level_from_toml(args.config) if args.config else "INFO"
+    level = (
+        "DEBUG"
+        if args.debug
+        else args.log_level
+        or (logging_level_from_toml(args.config) if args.config else "INFO")
     )
     setup_logging(level)
     spark = get_spark(master=args.master)

@@ -63,6 +63,11 @@ class CrawlConfig:
     salt_partitions: int | None = None   # repartition width for hot-host salting
     salt: int = 16
     use_bloom: bool = False
+    # cuckoo-filter prefilter (north_star: "Bloom/cuckoo URL-seen set") —
+    # same no-false-negative prefilter contract as the Bloom, plus O(1)
+    # deletion; sized off bloom_buckets/bloom_expected_n. Mutually
+    # exclusive with use_bloom.
+    use_cuckoo: bool = False
     bloom_buckets: int = 32
     bloom_fpp: float = 0.01
     # Bloom is sized once for the expected final seen-set cardinality; FPP
@@ -137,8 +142,12 @@ class CrawlEngine:
         # re-counting the frontier every round just to test loop conditions
         self.pending_count: int | None = None
         self.frontier_count: int | None = None
+        if config.use_bloom and config.use_cuckoo:
+            raise ValueError("use_bloom and use_cuckoo are mutually exclusive")
         self._blooms: dict[int, bytes] | None = None
         self._bloom_mk: tuple[int, int] | None = None
+        self._cuckoo: dict[int, bytes] | None = None
+        self._cuckoo_rows: int | None = None
         # in-memory state between parquet snapshots. The frontier is held
         # merge-on-read: an immutable base (last snapshot) + a small
         # localCheckpoint'ed last-writer-wins update set — a round never
@@ -219,6 +228,7 @@ class CrawlEngine:
             )
             self.catalog.reset()
             self._blooms = None
+            self._cuckoo = None
         details, fallback = expand_sitemaps(self.seeds, self.sitemaps_raw)
         # cut lineage once: details feeds the sitemaps commit AND the
         # frontier build; frontier feeds its own commit AND the seen commit —
@@ -449,6 +459,20 @@ class CrawlEngine:
             seen, self.cfg.bloom_buckets, m, k
         )
 
+    def _maybe_build_cuckoo(self, seen: DataFrame) -> None:
+        """Build the bucketed cuckoo filter once (distributed, one task per
+        bucket), then keep it incrementally updated per round via
+        cuckoo_add. In-memory only: resume rebuilds from the seen table
+        (the build is one pass at bloom-sidecar cost)."""
+        if not self.cfg.use_cuckoo or self._cuckoo is not None:
+            return
+        self._cuckoo_rows = seen_ops.cuckoo_params(
+            max(1, self.cfg.bloom_expected_n // self.cfg.bloom_buckets)
+        )
+        self._cuckoo = seen_ops.build_bucket_cuckoos(
+            seen, self.cfg.bloom_buckets, self._cuckoo_rows
+        )
+
     def _bloom_add_delta(self, seen_delta: DataFrame) -> None:
         """OR the new urls' bitmaps into the cached Bloom (distributed build
         on the small delta; no driver-side hashing of raw urls)."""
@@ -662,7 +686,13 @@ class CrawlEngine:
             .withColumn("url_hash", url_hash_col(F.col("url")))
         )
         self._maybe_build_blooms(self._seen_full_view())
-        if self._blooms is not None:
+        self._maybe_build_cuckoo(self._seen_full_view())
+        if self._cuckoo is not None:
+            fresh = seen_ops.filter_unseen_cuckoo(
+                candidates, seen, self._cuckoo,
+                self.cfg.bloom_buckets, self._cuckoo_rows,
+            )
+        elif self._blooms is not None:
             m, k = self._bloom_mk
             fresh = seen_ops.filter_unseen(
                 candidates, seen, self._blooms, self.cfg.bloom_buckets, m, k
@@ -767,6 +797,16 @@ class CrawlEngine:
         )
         if self.cfg.use_bloom and n_new:
             self._bloom_add_delta(seen_delta_ck)
+        if self.cfg.use_cuckoo and self._cuckoo is not None and n_new:
+            # driver-side incremental insert: the delta is bounded by the
+            # round's discovery (slice-sized); at cluster scale shard it per
+            # executor like the Bloom sidecar
+            hashes = [
+                r[0] for r in seen_delta_ck.select("url_hash").collect()
+            ]
+            seen_ops.cuckoo_add(
+                self._cuckoo, hashes, self.cfg.bloom_buckets, self._cuckoo_rows
+            )
 
         # pure-python assignment block: the py4j calls above can be
         # interrupted (streaming wrapper stop()); these assignments cannot,

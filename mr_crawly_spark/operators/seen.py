@@ -321,3 +321,275 @@ def filter_unseen(
         .join(seen_keys, ["url_hash", "url"], "left_anti")
     )
     return fresh.unionByName(maybe)
+
+
+# --------------------------------------------------------------------------- #
+# Cuckoo-filter prefilter (north_star: "partitioned Bloom/cuckoo URL-seen").
+#
+# Same contract as the Bloom path — a PREFILTER with no false negatives, so
+# it can only skip work, never change the seen-set — with the cuckoo
+# filter's two extra properties (Fan et al., "Cuckoo Filter: Practically
+# Better Than Bloom", CoNEXT 2014):
+#   - O(1) DELETION: a recrawl can evict a URL to force a refetch without
+#     rebuilding the filter (a Bloom cannot delete);
+#   - bounded occupancy: a bucket that cannot absorb its keys is marked
+#     SATURATED (empty sentinel) and degrades to "everything maybe-seen" —
+#     exact anti-join still decides, so saturation costs work, not answers.
+#
+# Layout mirrors the Bloom sidecar: the 64-bit url_hash shards into engine
+# buckets via pmod(url_hash, n_buckets); each engine bucket holds one
+# partial-key cuckoo table (uint16 fingerprints, SLOTS_PER_BUCKET-way),
+# built distributed per bucket via applyInPandas.
+
+SLOTS_PER_BUCKET = 4
+MAX_KICKS = 500
+_FP_MASK = np.uint64(0xFFFF)
+# involutive alternate-index mix (partial-key cuckoo hashing needs
+# i2 = i1 ^ mix(fp) with a power-of-two table so the xor round-trips)
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+def cuckoo_params(n_items: int, load_factor: float = 0.84) -> int:
+    """Table size (rows of SLOTS_PER_BUCKET slots) per engine bucket for the
+    expected per-bucket key count: next power of two above
+    n / (slots * load). Power-of-two is REQUIRED for the xor alternate
+    index to be involutive."""
+    n = max(n_items, 1)
+    rows = max(8, int(n / (SLOTS_PER_BUCKET * load_factor)) + 1)
+    return 1 << (rows - 1).bit_length()
+
+
+def _cuckoo_fp_i1_i2(
+    h: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fingerprint, primary row, alternate row) per 64-bit hash. fp==0 is
+    reserved for empty slots, so fingerprints are remapped to 1. The hash is
+    avalanche-mixed first (odd-constant multiply is a bijection mod 2^64):
+    the fingerprint must not depend on raw high bits — low-entropy inputs
+    (small ints) would collapse every key to one fingerprint."""
+    mask = np.uint64(n_rows - 1)
+    hm = h * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+    fp = ((hm >> np.uint64(48)) & _FP_MASK).astype(np.uint64)
+    fp[fp == 0] = 1
+    i1 = h & mask
+    i2 = (i1 ^ (fp * _FP_MIX)) & mask
+    return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
+
+
+def _cuckoo_insert_all(h: np.ndarray, n_rows: int) -> bytes:
+    """Build one bucket's table; b'' (saturated sentinel) if any key cannot
+    be placed within MAX_KICKS evictions."""
+    tbl = np.zeros((n_rows, SLOTS_PER_BUCKET), dtype=np.uint16)
+    fps, i1s, i2s = _cuckoo_fp_i1_i2(h, n_rows)
+    mask = np.uint64(n_rows - 1)
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        if fp in tbl[i1] or fp in tbl[i2]:
+            continue  # already present (same fp + rows == same key class)
+        placed = False
+        for row in (i1, i2):
+            free = np.flatnonzero(tbl[row] == 0)
+            if free.size:
+                tbl[row, free[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # eviction chain: deterministic victim slot (kick counter mod ways)
+        row, cur = i1, fp
+        for kick in range(MAX_KICKS):
+            slot = kick % SLOTS_PER_BUCKET
+            cur, tbl[row, slot] = int(tbl[row, slot]), cur
+            row = int(
+                (np.uint64(row) ^ (np.uint64(cur) * _FP_MIX)) & mask
+            )
+            free = np.flatnonzero(tbl[row] == 0)
+            if free.size:
+                tbl[row, free[0]] = cur
+                placed = True
+                break
+        if not placed:
+            return b""  # saturated: prefilter degrades, never lies
+    return tbl.tobytes()
+
+
+def build_bucket_cuckoos(
+    seen: DataFrame, n_buckets: int, n_rows: int
+) -> dict[int, bytes]:
+    """Driver-resident {engine bucket: cuckoo table bytes} — the twin of
+    build_bucket_blooms; built distributed, one task per engine bucket."""
+    total = n_buckets * n_rows * SLOTS_PER_BUCKET * 2
+    if total > MAX_DRIVER_BLOOM_BYTES:
+        raise ValueError(
+            f"cuckoo of {total} bytes exceeds the driver gate "
+            f"({MAX_DRIVER_BLOOM_BYTES}); shard it like the Bloom sidecar"
+        )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["_bucket"].iloc[0])],
+             "bits": [_cuckoo_insert_all(h, n_rows)]}
+        )
+
+    rows = (
+        seen.select("url_hash")
+        .withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
+        .groupBy("_bucket")
+        .applyInPandas(build, "bucket int, bits binary")
+        .collect()
+    )
+    return {r["bucket"]: bytes(r["bits"]) for r in rows}
+
+
+def cuckoo_add(
+    tables: dict[int, bytes], url_hashes: list[int], n_buckets: int, n_rows: int
+) -> None:
+    """Insert a round's (slice-sized) delta of url hashes in place — the
+    incremental twin of _bloom_add_delta. Driver-side: the delta is bounded
+    by the round's slice; at cluster scale shard this per executor like the
+    Bloom sidecar. A bucket that overflows flips to the saturated sentinel."""
+    by_bucket: dict[int, list[int]] = {}
+    for signed in url_hashes:
+        by_bucket.setdefault(signed % n_buckets, []).append(signed)
+    for b, hs in by_bucket.items():
+        existing = tables.get(b)
+        if existing == b"":
+            continue  # already saturated
+        h_new = np.array(hs, dtype=np.int64).view(np.uint64)
+        if existing is None:
+            tables[b] = _cuckoo_insert_all(h_new, n_rows)
+            continue
+        tbl = np.frombuffer(existing, dtype=np.uint16).reshape(
+            n_rows, SLOTS_PER_BUCKET
+        ).copy()
+        # re-insert: seed the builder with existing fingerprints is not
+        # possible (fps are one-way), so insert the new keys into the
+        # existing table directly
+        tables[b] = _cuckoo_insert_into(tbl, h_new, n_rows)
+
+
+def _cuckoo_insert_into(tbl: np.ndarray, h: np.ndarray, n_rows: int) -> bytes:
+    fps, i1s, i2s = _cuckoo_fp_i1_i2(h, n_rows)
+    mask = np.uint64(n_rows - 1)
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        if fp in tbl[i1] or fp in tbl[i2]:
+            continue
+        placed = False
+        for row in (i1, i2):
+            free = np.flatnonzero(tbl[row] == 0)
+            if free.size:
+                tbl[row, free[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        row, cur = i1, fp
+        for kick in range(MAX_KICKS):
+            slot = kick % SLOTS_PER_BUCKET
+            cur, tbl[row, slot] = int(tbl[row, slot]), cur
+            row = int((np.uint64(row) ^ (np.uint64(cur) * _FP_MIX)) & mask)
+            free = np.flatnonzero(tbl[row] == 0)
+            if free.size:
+                tbl[row, free[0]] = cur
+                placed = True
+                break
+        if not placed:
+            return b""
+    return tbl.tobytes()
+
+
+def cuckoo_delete(
+    tables: dict[int, bytes], url_hash: int, n_buckets: int, n_rows: int
+) -> bool:
+    """Remove one key's fingerprint (the cuckoo capability a Bloom lacks —
+    e.g. force-refetch a URL without rebuilding the whole prefilter).
+    Returns True if a fingerprint was cleared. Deleting from a saturated
+    bucket is a no-op (it already answers maybe for everything)."""
+    b = url_hash % n_buckets
+    existing = tables.get(b)
+    if not existing:  # absent or saturated sentinel
+        return False
+    tbl = np.frombuffer(existing, dtype=np.uint16).reshape(
+        n_rows, SLOTS_PER_BUCKET
+    ).copy()
+    h = np.array([url_hash], dtype=np.int64).view(np.uint64)
+    fps, i1s, i2s = _cuckoo_fp_i1_i2(h, n_rows)
+    fp, i1, i2 = int(fps[0]), int(i1s[0]), int(i2s[0])
+    for row in (i1, i2):
+        hit = np.flatnonzero(tbl[row] == fp)
+        if hit.size:
+            tbl[row, hit[0]] = 0
+            tables[b] = tbl.tobytes()
+            return True
+    return False
+
+
+def cuckoo_prefilter(
+    candidates: DataFrame,
+    tables: dict[int, bytes],
+    n_buckets: int,
+    n_rows: int,
+) -> DataFrame:
+    """Append ``maybe_seen`` via an Arrow-batched cuckoo probe — the twin of
+    bloom_prefilter. Missing buckets are empty (definitely unseen);
+    saturated buckets (b'') answer maybe for every key."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(tables)
+    schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tb = bc.value
+        unpacked: dict[int, np.ndarray | None] = {}
+        for pdf in batches:
+            signed = pdf["url_hash"].to_numpy(dtype=np.int64)
+            h = signed.view(np.uint64)
+            bkt = signed % n_buckets
+            out = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(bkt):
+                raw = tb.get(int(b))
+                if raw is None:
+                    continue
+                if raw == b"":
+                    out[bkt == b] = True  # saturated -> exact join decides
+                    continue
+                if int(b) not in unpacked:
+                    unpacked[int(b)] = np.frombuffer(raw, dtype=np.uint16).reshape(
+                        n_rows, SLOTS_PER_BUCKET
+                    )
+                tbl = unpacked[int(b)]
+                mask = bkt == b
+                fps, i1s, i2s = _cuckoo_fp_i1_i2(h[mask], n_rows)
+                hit = (tbl[i1s] == fps[:, None]).any(axis=1) | (
+                    tbl[i2s] == fps[:, None]
+                ).any(axis=1)
+                out[mask] = hit
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            yield pdf
+
+    return candidates.mapInPandas(probe, schema)
+
+
+def filter_unseen_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame,
+    tables: dict[int, bytes],
+    n_buckets: int,
+    n_rows: int,
+) -> DataFrame:
+    """filter_unseen with the cuckoo prefilter: exact semantics always —
+    definitely-new rows skip the anti-join shuffle, flagged rows still join
+    exactly (false positives cost work, never correctness)."""
+    seen_keys = seen.select("url_hash", "url")
+    probed = cuckoo_prefilter(candidates, tables, n_buckets, n_rows)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = (
+        probed.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(seen_keys, ["url_hash", "url"], "left_anti")
+    )
+    return fresh.unionByName(maybe)

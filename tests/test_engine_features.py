@@ -280,6 +280,7 @@ def test_cli_toml_merge_precedence(tmp_path):
     c2 = cfg(["--warehouse", "/tmp/wh", "--retries", "1"])
     assert c2.max_retries == 1
     assert cfg(["--warehouse", "/tmp/wh"]).max_retries == 3
+    assert cfg(["--warehouse", "/tmp/wh", "--use-cuckoo"]).use_cuckoo is True
 
 
 def test_write_width_scales_with_round_volume(spark, tiny_corpus):

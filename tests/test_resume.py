@@ -118,3 +118,18 @@ def test_resume_discards_orphaned_table_commits(spark, tiny_corpus):
     got = _final_state(again)
     assert got == want  # identical to the uninterrupted run...
     assert "https://orphan.test/x" not in got[1]  # ...orphan delta is gone
+
+
+def test_cuckoo_outputs_equal_exact(spark, tiny_corpus):
+    """use_cuckoo=True must not change any output (prefilter-only contract,
+    twin of the Bloom test) — and the filter must actually engage."""
+    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ck_"))
+    exact.run()
+    cuckooed = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ck2_"),
+        use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096,
+    )
+    cuckooed.run()
+    assert cuckooed._cuckoo is not None  # built and maintained
+    assert any(v != b"" for v in cuckooed._cuckoo.values())
+    assert _final_state(cuckooed) == _final_state(exact)

@@ -130,3 +130,99 @@ def test_driver_bloom_size_gate():
     with pytest.raises(ValueError, match="driver gate"):
         # 10^10-key shape: 4096 buckets x ~12 GB total — must refuse collect
         seen_ops.build_bucket_blooms(None, 4096, 95_850_584_000 // 4096, 7)
+
+
+# ------------------------------------------------------------------- #
+# cuckoo-filter prefilter (north_star: "Bloom/cuckoo URL-seen set")
+
+def test_cuckoo_path_equals_exact_antijoin(spark):
+    """Same contract as the Bloom: the cuckoo path returns EXACTLY the
+    anti-join's rows (no false negatives by construction; false positives
+    fall through to the exact join)."""
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(500)], "url string"
+        )
+    )
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(250, 750)],
+            "url string",
+        )
+    )
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, seen).collect()}
+    n_buckets = 8
+    n_rows = seen_ops.cuckoo_params(500 // n_buckets)
+    tables = seen_ops.build_bucket_cuckoos(seen, n_buckets, n_rows)
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen_cuckoo(
+            cands, seen, tables, n_buckets, n_rows
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_cuckoo_no_false_negatives_and_prefilter_rate():
+    """Every inserted key probes positive; non-inserted keys mostly probe
+    negative (the prefilter actually filters)."""
+    import numpy as np
+
+    n_rows = seen_ops.cuckoo_params(1000)
+    h_in = (np.arange(1, 1001, dtype=np.int64) * 2654435761).view(np.uint64)
+    raw = seen_ops._cuckoo_insert_all(h_in, n_rows)
+    assert raw != b""  # sized for the load, no saturation
+    tbl = np.frombuffer(raw, dtype=np.uint16).reshape(
+        n_rows, seen_ops.SLOTS_PER_BUCKET
+    )
+    fps, i1s, i2s = seen_ops._cuckoo_fp_i1_i2(h_in, n_rows)
+    hit = (tbl[i1s] == fps[:, None]).any(1) | (tbl[i2s] == fps[:, None]).any(1)
+    assert hit.all()  # zero false negatives
+    h_out = (np.arange(5001, 7001, dtype=np.int64) * 2654435761).view(np.uint64)
+    fpo, i1o, i2o = seen_ops._cuckoo_fp_i1_i2(h_out, n_rows)
+    fp_hit = (tbl[i1o] == fpo[:, None]).any(1) | (tbl[i2o] == fpo[:, None]).any(1)
+    assert fp_hit.mean() < 0.2  # false-positive rate stays useful
+
+
+def test_cuckoo_delete_then_incremental_add():
+    """The capability a Bloom lacks: delete one key (it probes negative,
+    others unaffected), then incrementally add new keys in place."""
+    import numpy as np
+
+    n_buckets, expected = 4, 800  # sized for initial 400 + incremental adds
+    n_rows = seen_ops.cuckoo_params(expected // n_buckets)
+    hashes = [int(i * 2654435761 % (1 << 62)) for i in range(1, 401)]
+    tables: dict[int, bytes] = {}
+    seen_ops.cuckoo_add(tables, hashes, n_buckets, n_rows)
+
+    def probes(h):
+        b = h % n_buckets
+        tbl = np.frombuffer(tables[b], dtype=np.uint16).reshape(
+            n_rows, seen_ops.SLOTS_PER_BUCKET
+        )
+        hv = np.array([h], dtype=np.int64).view(np.uint64)
+        fp, i1, i2 = seen_ops._cuckoo_fp_i1_i2(hv, n_rows)
+        return bool(
+            (tbl[int(i1[0])] == int(fp[0])).any()
+            or (tbl[int(i2[0])] == int(fp[0])).any()
+        )
+
+    victim = hashes[123]
+    assert probes(victim)
+    assert seen_ops.cuckoo_delete(tables, victim, n_buckets, n_rows)
+    assert not probes(victim)          # deleted key gone...
+    assert all(probes(h) for h in hashes[:100])  # ...others intact
+    fresh = [int(i * 48271 % (1 << 62)) for i in range(10**6, 10**6 + 50)]
+    seen_ops.cuckoo_add(tables, fresh, n_buckets, n_rows)
+    assert all(probes(h) for h in fresh)
+
+
+def test_cuckoo_saturated_bucket_degrades_safely():
+    """An overloaded bucket flips to the saturated sentinel: every key in it
+    answers maybe (exact join decides) — never a false negative."""
+    import numpy as np
+
+    n_rows = 8  # 32 slots
+    h = (np.arange(1, 200, dtype=np.int64) * 2654435761).view(np.uint64)
+    raw = seen_ops._cuckoo_insert_all(h, n_rows)  # 199 keys into 32 slots
+    assert raw == b""
