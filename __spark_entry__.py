@@ -372,6 +372,43 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """The build-once LSH index path (verdict r2 #3): bucket the table once
+    (the scale workflow persists it partitionBy _bucket), then the query
+    prunes to its probed buckets. Result is identical to the one-shot
+    ann_lsh, so the DuckDB oracle is the same full-chain SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    indexed, planes = SIM.lsh_index(emb, n_planes=6, dim=64)
+    return SIM.ann_lsh_topk_indexed(indexed.repartition(8, "_bucket"), planes, q, k=20)
+
+
+def q_crawl_seen_cuckoo(spark, sf_dir):
+    """The crawl engine with the cuckoo prefilter enabled (north_star:
+    "Bloom/cuckoo URL-seen"). Prefilter-only contract: the final seen set
+    is IDENTICAL to the exact path, so the oracle is the same materialized
+    python-oracle parquet as crawl_seen."""
+    import tempfile
+
+    from mr_crawly_spark.datagen import corpus_to_spark, generate_corpus
+    from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+    from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+    corpus = generate_corpus(**_CRAWL_SEEN_CORPUS)
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, CorpusFetcher(spark, documents=docs), robots, sitemaps, seeds,
+        CrawlConfig(
+            warehouse=tempfile.mkdtemp(prefix="entry_ck_"),
+            use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096,
+        ),
+    )
+    eng.run()
+    return eng.table("seen").select(
+        "url", F.col("first_seen_round").cast("bigint").alias("first_seen_round")
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ann_ivf_topk(
@@ -515,7 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl_seen's oracle is the sequential python crawler, surfaced to
         # DuckDB as a materialized parquet (see _materialize_crawl_seen_oracle)
         "crawl_seen": q_crawl_seen,
+        "crawl_seen_cuckoo": q_crawl_seen_cuckoo,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
         "ann_ivf": q_ann_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_lsh": q_jaccard_lsh,
@@ -611,7 +650,7 @@ def oracle_sql() -> dict[str, str]:
         f"('0x' || substr(d, {2 * i + 1}, 2))::BIGINT AS f{i}" for i in range(8)
     )
     crawl_seen_path = _materialize_crawl_seen_oracle()
-    return {
+    d = {
         "crawl_seen": f"""
             SELECT url, first_seen_round
             FROM read_parquet('{crawl_seen_path}')
@@ -977,3 +1016,10 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
     }
+    # prefilter/index variants are RESULT-identical to their base paths by
+    # contract (prefilter-only cuckoo; build-once LSH index), so they share
+    # the base oracle — the harness then independently proves each variant
+    # against the same ground truth
+    d["crawl_seen_cuckoo"] = d["crawl_seen"]
+    d["ann_lsh_indexed"] = d["ann_lsh"]
+    return d

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-reset", action="store_true",
                    help="allow a fresh bootstrap to clear a non-empty warehouse")
     p.add_argument("--master", default=None)
+    p.add_argument("--num-workers", type=int, default=None,
+                   help="reference main.py --num_workers parity: local "
+                        "parallelism (local[N]) when --master is not given; "
+                        "on a cluster, executor count comes from spark-submit")
     return p
 
 
@@ -95,7 +99,10 @@ def main(argv: list[str] | None = None) -> int:
         or (logging_level_from_toml(args.config) if args.config else "INFO")
     )
     setup_logging(level)
-    spark = get_spark(master=args.master)
+    master = args.master or (
+        f"local[{args.num_workers}]" if args.num_workers else None
+    )
+    spark = get_spark(master=master)
     corpus = generate_corpus(
         n_hosts=args.hosts, base_pages=args.base_pages,
         hot_factor=args.hot_factor, n_seeds=args.seeds,

@@ -172,7 +172,11 @@ class CrawlEngine:
     def _write_run_row(self, end: bool) -> None:
         """Run bookkeeping (S9, data.py:38-60): start row at bootstrap, final
         row with end_time at completion (insert-then-update emulated as
-        last-writer-wins rows; readers take max(end_time) per run_id)."""
+        last-writer-wins rows; readers take max(end_time) per run_id).
+        Deliberately WALL-CLOCK (datetime.now), unlike everything else in
+        the engine: run bookkeeping is operator-facing metadata outside the
+        deterministic logical-time contract — the reference stamps real
+        timestamps here too, and no golden comparison reads these values."""
         import datetime
 
         first_seed = self.seeds.orderBy("seed_url_id").first()
