@@ -36,3 +36,28 @@ def test_runs_table_and_sitemap_index_json(spark, tiny_corpus):
     }
     assert idx == want
     assert len(idx) > 0
+
+
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    """spark-submit --py-files packaging (north_rule): the zip must import
+    standalone — a module the package forgot to include would only fail on
+    the cluster."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from package_pyfiles import build
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "pkg.zip")
+    names = build(out)
+    assert any(n.endswith("engine.py") for n in names)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {out!r}); "
+         "import mr_crawly_spark.engine, mr_crawly_spark.operators.seen, "
+         "oracle.crawler; print('ok')"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert r.stdout.strip() == "ok", r.stderr[-500:]
