@@ -283,6 +283,36 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
 
 
+def q_robots_parse(spark, sf_dir):
+    """S2 fetch+parse: raw robots.txt bodies -> structured rules. The
+    bodies are synthesized deterministically from doc_ids (one host per
+    sampled doc: agent groups, comments, a crawl-delay, one Disallow + one
+    Allow), parsed by the JVM-side operator; the oracle derives the same
+    rule rows directly from the doc_ids — an independent ground truth for
+    the whole parse chain."""
+    from mr_crawly_spark.operators.politeness import parse_robots_txt
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d3 = (F.col("doc_id") % 3).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: otherbot\nDisallow: /other\n"
+                  "User-agent: *\nCrawl-delay: "),
+            ((F.col("doc_id") % 5) + 1).cast("string"),
+            F.lit("\nDisallow: /p"), d3,
+            F.lit("  # comment\nAllow: /p"), d3, F.lit("/ok\n"),
+        ).alias("robots_txt"),
+    )
+    return parse_robots_txt(pages).select(
+        "host",
+        F.col("rule_order").cast("bigint").alias("rule_order"),
+        "allow",
+        "path_prefix",
+        F.round(F.col("crawl_delay"), 4).alias("crawl_delay"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
@@ -549,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "cosine_topk": q_cosine_topk,
         "embed_norm": q_embed_norm,
+        "robots_parse": q_robots_parse,
         # crawl_seen's oracle is the sequential python crawler, surfaced to
         # DuckDB as a materialized parquet (see _materialize_crawl_seen_oracle)
         "crawl_seen": q_crawl_seen,
@@ -811,6 +842,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             sums AS (SELECT doc_id, {simhash16_sums} FROM words GROUP BY doc_id)
             SELECT doc_id, {simhash16_fp} AS simhash FROM sums
+        """,
+        "robots_parse": """
+            WITH hosts AS (
+              SELECT doc_id, 'h' || doc_id::VARCHAR || '.test' AS host,
+                     ((doc_id % 5) + 1)::DOUBLE AS crawl_delay,
+                     '/p' || (doc_id % 3)::VARCHAR AS p
+              FROM documents WHERE doc_id % 20 = 0
+            )
+            SELECT host, 0::BIGINT AS rule_order, false AS allow,
+                   p AS path_prefix, round(crawl_delay, 4) AS crawl_delay
+            FROM hosts
+            UNION ALL
+            SELECT host, 1::BIGINT, true, p || '/ok', round(crawl_delay, 4)
+            FROM hosts
         """,
         "cosine_topk": """
             SELECT vec_id,

@@ -684,6 +684,12 @@ class CrawlEngine:
         ).dropDuplicates(["seed_url", "source_url", "linked_url"])
 
         # --- dedup against seen (D2/J3) --------------------------------------
+        # Deliberately a SECOND exchange after the (source,linked) pair dedup:
+        # sharing one linked_url-keyed exchange for both dedups looks cheaper
+        # but concentrates a hot link target (every page linking "/") into
+        # one partition, and distinct sources can't combine map-side. This
+        # shape's partial aggregation collapses each hot url to <= 1 row per
+        # map partition BEFORE its shuffle — skew-immune by construction.
         candidates = (
             links_pairs.select(F.col("linked_url").alias("url"))
             .dropDuplicates(["url"])

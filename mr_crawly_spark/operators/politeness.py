@@ -76,6 +76,76 @@ def robots_gate(
     )
 
 
+def parse_robots_txt(
+    pages: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the structured rules table (S2 —
+    the reference's urllib.robotparser consumes the raw file,
+    site_downloader.py:42-48; the sandbox corpus pre-structures rules, so
+    this operator closes the loop for real robots.txt ingest).
+
+    Pure JVM: posexplode lines -> strip comments -> key/value regex -> the
+    governing ``User-agent`` group via a running last-non-null window ->
+    ``*``-group Allow/Disallow rows in file order, with the group's
+    Crawl-delay attached to every rule row (hosts with a delay but no path
+    rules get one null-path row so host_budgets still sees the delay).
+    Output schema matches schemas.ROBOTS: (host, rule_order, allow,
+    path_prefix, crawl_delay).
+    """
+    from pyspark.sql import Window
+
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).withColumn("line", F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")))
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
+        F.trim(F.regexp_extract(F.col("line"), r":\s*(.*)$", 1)).alias("val"),
+    ).filter(F.col("key") != "")
+    w_run = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = kv.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("key") == "user-agent", F.col("val")), ignorenulls=True
+        ).over(w_run),
+    ).filter(F.col("agent") == "*")
+    delays = grouped.filter(F.col("key") == "crawl-delay").groupBy("host").agg(
+        F.max(F.col("val").cast("double")).alias("crawl_delay")
+    )
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    ).select(
+        "host",
+        "line_no",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("path_prefix"),
+    )
+    w_order = Window.partitionBy("host").orderBy("line_no")
+    ordered = rules.withColumn(
+        "rule_order", (F.row_number().over(w_order) - 1).cast("int")
+    ).drop("line_no")
+    with_delay = ordered.join(delays, "host", "left")
+    # delay-only hosts still need a row to carry crawl_delay into budgets
+    delay_only = delays.join(
+        ordered.select("host").distinct(), "host", "left_anti"
+    ).select(
+        "host",
+        F.lit(0).cast("int").alias("rule_order"),
+        F.lit(True).alias("allow"),
+        F.lit(None).cast("string").alias("path_prefix"),
+        "crawl_delay",
+    )
+    return with_delay.select(
+        "host", "rule_order", "allow", "path_prefix", "crawl_delay"
+    ).unionByName(delay_only)
+
+
 def host_budgets(robots: DataFrame) -> DataFrame:
     """Per-host fetch budget for one round: floor(ROUND_SECONDS/crawl_delay),
     clamped to [1, MAX_PER_HOST_PER_ROUND]. Hosts without robots rows get the

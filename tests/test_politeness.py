@@ -66,3 +66,103 @@ def test_generate_corpus_deterministic():
     assert a.robots == b.robots
     assert a.sitemaps_raw == b.sitemaps_raw
     assert a.seeds == b.seeds
+
+
+def test_parse_robots_txt_round_trip(spark, corpus):
+    """S2 fetch+parse: rendering the corpus's structured rules to raw
+    robots.txt text and re-parsing must reproduce the rules exactly."""
+    from collections import defaultdict
+
+    from mr_crawly_spark.operators.politeness import parse_robots_txt
+
+    by_host = defaultdict(list)
+    for r in corpus.robots:
+        by_host[r["host"]].append(r)
+    rows = []
+    for host, rules in by_host.items():
+        lines = ["User-agent: *"]
+        delays = [r["crawl_delay"] for r in rules if r["crawl_delay"] is not None]
+        if delays:
+            lines.append(f"Crawl-delay: {max(delays)}")
+        for r in sorted(rules, key=lambda r: r["rule_order"]):
+            if r["path_prefix"] is not None:
+                verb = "Allow" if r["allow"] else "Disallow"
+                lines.append(f"{verb}: {r['path_prefix']}  # trailing comment")
+        rows.append((host, "\n".join(lines)))
+    pages = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {
+        (r["host"], r["rule_order"], r["allow"], r["path_prefix"], r["crawl_delay"])
+        for r in parse_robots_txt(pages).collect()
+    }
+    want = set()
+    for host, rules in by_host.items():
+        delays = [r["crawl_delay"] for r in rules if r["crawl_delay"] is not None]
+        delay = max(delays) if delays else None
+        path_rules = [
+            r for r in sorted(rules, key=lambda r: r["rule_order"])
+            if r["path_prefix"] is not None
+        ]
+        for i, r in enumerate(path_rules):
+            want.add((host, i, bool(r["allow"]), r["path_prefix"], delay))
+        if not path_rules and delay is not None:
+            want.add((host, 0, True, None, delay))
+    assert got == want
+    assert got  # corpus actually has rules
+
+
+def test_parse_robots_txt_agent_groups_and_edge_cases(spark):
+    """Only the ``*`` group governs (the reference's robotparser is asked
+    for agent "*"); comments, blank lines, and delay-only hosts parse."""
+    from mr_crawly_spark.operators.politeness import parse_robots_txt
+
+    txt_a = "\n".join([
+        "# global file comment",
+        "User-agent: googlebot",
+        "Disallow: /google-only",
+        "",
+        "User-agent: *",
+        "Crawl-delay: 2.5",
+        "Disallow: /private",
+        "Allow: /private/ok   # inline",
+        "",
+        "User-agent: bingbot",
+        "Disallow: /bing-only",
+    ])
+    txt_b = "User-agent: *\nCrawl-delay: 7"
+    pages = spark.createDataFrame(
+        [("a.test", txt_a), ("b.test", txt_b)], "host string, robots_txt string"
+    )
+    got = {
+        (r["host"], r["rule_order"], r["allow"], r["path_prefix"], r["crawl_delay"])
+        for r in parse_robots_txt(pages).collect()
+    }
+    assert got == {
+        ("a.test", 0, False, "/private", 2.5),
+        ("a.test", 1, True, "/private/ok", 2.5),
+        ("b.test", 0, True, None, 7.0),
+    }
+
+
+def test_parsed_robots_drive_the_gate(spark):
+    """End-to-end: raw text -> parse_robots_txt -> robots_gate (first
+    matching rule wins, sitemap bypass, default allow)."""
+    from mr_crawly_spark.functions.urls import url_host_col
+    from mr_crawly_spark.operators.politeness import parse_robots_txt, robots_gate
+
+    txt = "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+    pages = spark.createDataFrame(
+        [("h.test", txt)], "host string, robots_txt string"
+    )
+    rules = parse_robots_txt(pages)
+    cand = spark.createDataFrame(
+        [("https://h.test/private/x",), ("https://h.test/private/sitemap.xml",),
+         ("https://h.test/open",), ("https://h.test/private/ok/page",)],
+        "url string",
+    ).withColumn("host", url_host_col(F.col("url")))
+    got = {r["url"]: r["allowed"] for r in robots_gate(cand, rules, 10).collect()}
+    assert got == {
+        "https://h.test/private/x": False,          # Disallow matches first
+        "https://h.test/private/sitemap.xml": True,  # B15 sitemap bypass
+        "https://h.test/open": True,                 # no rule -> allow
+        "https://h.test/private/ok/page": False,     # first match wins (order)
+    }
