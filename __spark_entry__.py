@@ -194,6 +194,17 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token count (task brief) alongside the whitespace
+    count — punctuation/digit runs split into their own pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens_ws"),
+        T.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -570,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -769,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens FROM documents
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT
+                       AS n_tokens_bpe
+            FROM documents
         """,
         "text_quality": f"""
             SELECT doc_id, {stop_ratio} AS stop_ratio, {mean_tok} AS mean_tok_len,

@@ -27,6 +27,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+# BPE-ish pre-tokenizer pattern (the GPT-2 shape, simplified to what both
+# Spark's and DuckDB's regex engines share — no lookahead): an optional
+# leading space glued to a letter run, digit run, or punctuation run.
+# Counting these pieces approximates a byte-pair-encoding token count far
+# better than whitespace words (punctuation and numbers split off).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pieces(text: Column) -> Column:
+    """BPE-ish pre-tokenization pieces (task brief: 'token counting —
+    whitespace + a BPE-ish regex'). Pure JVM regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def token_count_bpe(text: Column) -> Column:
+    return F.size(bpe_pieces(text)).cast("bigint")
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(text)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])

@@ -60,3 +60,23 @@ def test_url_hash_is_stable_and_distinct(spark):
     assert len({r["h"] for r in rows}) == 100  # no collisions at this size
     for r in rows:
         assert again[r["url"]] == r["h"]  # deterministic across actions
+
+
+def test_bpe_token_count_splits_punct_and_digits(spark):
+    """Task brief: BPE-ish regex counting — punctuation and digit runs are
+    their own pieces, unlike whitespace words."""
+    from pyspark.sql import functions as F
+
+    from mr_crawly_spark.functions.text import token_count, token_count_bpe
+
+    df = spark.createDataFrame(
+        [("Hello, world! v2.0 costs $15.99",), ("plain words only",)],
+        "text string",
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()
+    # "Hello","," ," world","!"," v","2",".","0"," costs"," $","15",".","99"
+    assert (rows[0]["ws"], rows[0]["bpe"]) == (5, 13)
+    assert (rows[1]["ws"], rows[1]["bpe"]) == (3, 3)  # letters-only: equal
