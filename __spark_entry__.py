@@ -501,6 +501,17 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_embed_neardup_multi(spark, sf_dir):
+    """Multi-table LSH amplification (2 independent hyperplane tables, OR
+    semantics): recall that one 8-plane table misses is repaired by the
+    second; the DuckDB oracle unions the two tables' bucket joins."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    planted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+    return SIM.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.98, n_planes=8, dim=64, n_tables=2,
+    )
+
+
 def _doc_media(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -603,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_lsh": q_jaccard_lsh,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_multi": q_embed_neardup_multi,
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
@@ -685,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
     # side derives dim from the data and produces these same planes
     planes8 = SIM.deterministic_hyperplanes(64, 8)
     planes6 = SIM.deterministic_hyperplanes(64, 6)
+    planes16 = SIM.deterministic_hyperplanes(64, 16)
     cos = (
         "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b}))), 4)"
@@ -983,6 +996,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
                    {cos.format(a="l.v", b="r.v")} AS cosine
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE {cos.format(a="l.v", b="r.v")} >= 0.98
+        """,
+        "embed_neardup_multi": f"""
+            WITH emb2 AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+              UNION ALL
+              SELECT vec_id + 1000000000 AS vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            b AS (
+              SELECT vec_id, v, 0 AS tbl,
+                     {bucket_expr("v", planes16[:8])} AS bucket FROM emb2
+              UNION ALL
+              SELECT vec_id, v, 1 AS tbl,
+                     {bucket_expr("v", planes16[8:])} AS bucket FROM emb2
+            )
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                   {cos.format(a="l.v", b="r.v")} AS cosine
+            FROM b l JOIN b r
+              ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
             WHERE {cos.format(a="l.v", b="r.v")} >= 0.98
         """,
         "ann_lsh": f"""

@@ -272,29 +272,51 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: bucket join on hyperplane signature
     (scale path — no all-pairs), exact cosine >= threshold within buckets.
     ``max_bucket_size`` drops pathological hot buckets before the self-join
     (dedup.cap_bucket_size — e.g. a zero-vector bucket goes quadratic).
     Pass ``dim`` when known (schema/contract) to skip the driver-side
-    single-row probe job."""
-    planes = deterministic_hyperplanes(
-        dim if dim is not None else len(embeddings.select(vec_col).first()[0]),
-        n_planes,
-    )
+    single-row probe job.
+
+    ``n_tables``: LSH amplification — L INDEPENDENT hyperplane tables (the
+    first ``n_planes`` planes of the shared deterministic sequence, then
+    the next ``n_planes``, ...); a pair is a candidate if it shares a
+    bucket in ANY table. Single-table recall at 8 planes misses near-pairs
+    that straddle one hyperplane; each extra table multiplies miss
+    probability by that same factor while scaling cost linearly (standard
+    OR-amplification). n_tables=1 is exactly the original operator."""
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
+    all_planes = deterministic_hyperplanes(d, n_planes * n_tables)
+    # one row per (vector, table): explode the per-table buckets, then a
+    # single equi-join on (table, bucket) — cost is n_tables rows per
+    # vector, never all-pairs
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("_tbl"),
+            lsh_bucket_col(
+                F.col(vec_col), all_planes[t * n_planes:(t + 1) * n_planes]
+            ).alias("_bucket"),
+        )
+        for t in range(n_tables)
+    ]
     b = embeddings.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        F.explode(F.array(*bucket_structs)).alias("_tb"),
+    ).select(
+        id_col, vec_col,
+        F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bucket").alias("_bucket"),
     )
     if max_bucket_size is not None:
         from mr_crawly_spark.operators.dedup import cap_bucket_size
 
-        b = cap_bucket_size(b, ["_bucket"], max_bucket_size)
+        b = cap_bucket_size(b, ["_tbl", "_bucket"], max_bucket_size)
     left = b.alias("l")
     right = b.alias("r")
     joined = (
-        left.join(right, "_bucket")
+        left.join(right, ["_tbl", "_bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

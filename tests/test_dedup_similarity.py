@@ -400,3 +400,28 @@ def test_lsh_indexed_equals_oneshot(spark):
             assert "_bucket" in plan and " IN " in plan
     finally:
         indexed.unpersist()
+
+
+def test_embedding_neardup_multitable_amplification(spark):
+    """OR-amplification: n_tables=2 recovers every single-table pair from
+    BOTH tables (union semantics), and planted exact duplicates survive."""
+    rng = [
+        (i, [((i * 13 + j * 5) % 23 - 11) / 11.0 for j in range(16)])
+        for i in range(300)
+    ]
+    rows = rng + [(i + 10**9, v) for i, v in rng[:30]]  # planted duplicates
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(n_tables):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in SIM.embedding_neardup_pairs(
+                df, threshold=0.98, n_planes=6, dim=16, n_tables=n_tables
+            ).collect()
+        }
+
+    two = pairs(2)
+    one = pairs(1)
+    assert one <= two          # amplification only ADDS candidates
+    for i, _ in rng[:30]:
+        assert (i, i + 10**9) in two  # planted dups all recovered
