@@ -501,6 +501,24 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-bounded sliding chunks with overlap (context-window packing):
+    one row per chunk, stride = max_tokens - overlap."""
+    from mr_crawly_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
+
+
+def q_sample_deterministic(spark, sf_dir):
+    """RNG-free md5-threshold sampling: reproducible across engines, runs,
+    and partitionings; monotone in fraction (1% ⊂ 10%)."""
+    from mr_crawly_spark.operators.curation import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.1, "doc_id").select("doc_id")
+
+
 def q_embed_neardup_multi(spark, sf_dir):
     """Multi-table LSH amplification (2 independent hyperplane tables, OR
     semantics): recall that one 8-plane table misses is repaired by the
@@ -593,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "chunk_docs": q_chunk_documents,
+        "sample_det": q_sample_deterministic,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -794,6 +814,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens FROM documents
+        """,
+        "chunk_docs": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS w FROM documents
+            ),
+            nc AS (
+              SELECT doc_id, w,
+                     1 + ceil(greatest(len(w) - 40, 0) / 32.0)::INT AS n_chunks
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_index
+              FROM nc
+            )
+            SELECT doc_id, chunk_index::BIGINT AS chunk_index,
+                   array_to_string(w[chunk_index * 32 + 1 :
+                                     chunk_index * 32 + 40], ' ') AS chunk_text,
+                   len(w[chunk_index * 32 + 1 : chunk_index * 32 + 40])::BIGINT
+                       AS n_tokens
+            FROM ch
+        """,
+        "sample_det": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 < 100000
         """,
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,

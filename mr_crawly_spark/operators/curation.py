@@ -1,0 +1,109 @@
+"""Corpus-curation operators for the training-data pipeline (task brief):
+token-bounded chunking and deterministic sampling. Both are pure JVM
+column expressions with exact DuckDB twins in __spark_entry__ — and both
+are RNG-free (md5-derived decisions), so reruns, resumes, and different
+partitionings produce identical outputs (the same determinism contract as
+the crawl engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.functions.text import tokens
+
+
+def chunk_documents(
+    documents: DataFrame,
+    max_tokens: int = 100,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-bounded sliding chunks — the standard
+    pre-training preparation for long documents (context-window packing).
+
+    Output: (id_col, chunk_index, chunk_text, n_tokens), one row per chunk;
+    stride = max_tokens - overlap, the last chunk may be short, documents
+    shorter than max_tokens yield exactly one chunk. All JVM: sequence ->
+    explode -> slice over the token array (tokenized once per row), so the
+    fan-out runs inside whole-stage codegen and scales with output rows.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of stride-aligned windows covering all n tokens:
+    # 1 + ceil(max(n - max_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    with_toks = documents.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
+    )
+    exploded = with_toks.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_index"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_index") * stride + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )
+
+
+SAMPLE_MOD = 1_000_000
+
+
+def sample_hash_col(key: Column, salt: str) -> Column:
+    """Deterministic uniform draw in [0, SAMPLE_MOD): md5 of salt|key,
+    first 15 hex chars as int, mod 10^6 — identical in DuckDB."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(SAMPLE_MOD))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~fraction of rows, decided by an md5 threshold on the row key —
+    no RNG state, so the sample is identical across runs, engines, resumes,
+    and partitionings (Spark's df.sample is seed+partition-layout dependent
+    and NOT reproducible after a repartition). Different salts give
+    independent samples; a row's fate is monotone in fraction (a 1% sample
+    is a subset of the 10% sample — handy for staged experiments)."""
+    threshold = int(fraction * SAMPLE_MOD)
+    return df.filter(sample_hash_col(F.col(key_col), salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate-heavy
+    domains, keep all rare high-quality strata): the per-row draw is the
+    same md5 threshold, compared against its stratum's fraction."""
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(frac * SAMPLE_MOD))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    default = F.lit(int(default_fraction * SAMPLE_MOD))
+    thr = thr.otherwise(default) if thr is not None else default
+    return df.filter(sample_hash_col(F.col(key_col), salt) < thr)

@@ -1,0 +1,83 @@
+"""Corpus-curation operators: token-bounded chunking + deterministic
+sampling (RNG-free md5 thresholds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mr_crawly_spark.operators.curation import (
+    chunk_documents,
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def test_chunk_documents_boundaries(spark):
+    texts = {
+        1: " ".join(f"w{i}" for i in range(25)),   # 25 toks: 1 full + 1 tail
+        2: " ".join(f"w{i}" for i in range(10)),   # shorter than max: 1 chunk
+        3: " ".join(f"w{i}" for i in range(20)),   # exactly max: 1 chunk
+        4: "solo",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens=20, overlap=5).collect()
+    }
+    # doc 1: stride 15 -> chunks [0..19], [15..24]
+    assert got[(1, 0)][1] == 20
+    assert got[(1, 1)] == (" ".join(f"w{i}" for i in range(15, 25)), 10)
+    # overlap: last 5 tokens of chunk 0 == first 5 of chunk 1
+    assert got[(1, 0)][0].split()[-5:] == got[(1, 1)][0].split()[:5]
+    assert (1, 2) not in got
+    assert got[(2, 0)][1] == 10 and (2, 1) not in got
+    assert got[(3, 0)][1] == 20 and (3, 1) not in got
+    assert got[(4, 0)] == ("solo", 1)
+    # lossless coverage: every token appears in some chunk of its doc
+    for doc_id, text in texts.items():
+        covered = set()
+        for (d, _), (chunk, _) in got.items():
+            if d == doc_id:
+                covered |= set(chunk.split())
+        assert covered == set(text.split()), doc_id
+
+
+def test_deterministic_sample_properties(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in deterministic_sample(df, 0.1, "doc_id").collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(df, 0.3, "doc_id").collect()}
+    # roughly the right rate
+    assert 0.07 < len(s10) / 5000 < 0.13
+    assert 0.26 < len(s30) / 5000 < 0.34
+    # monotone: smaller fraction is a SUBSET of the larger (staged runs)
+    assert s10 <= s30
+    # reproducible regardless of partitioning
+    again = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(13), 0.1, "doc_id").collect()
+    }
+    assert again == s10
+    # different salts draw independently
+    other = {
+        r["doc_id"]
+        for r in deterministic_sample(df, 0.1, "doc_id", salt="other").collect()
+    }
+    assert other != s10
+
+
+def test_stratified_sample(spark):
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "boilerplate").otherwise("quality").alias("kind"),
+    )
+    got = stratified_sample(
+        df, {"boilerplate": 0.1, "quality": 1.0}, "kind", "doc_id"
+    )
+    rows = got.groupBy("kind").count().collect()
+    by_kind = {r["kind"]: r["count"] for r in rows}
+    assert by_kind["quality"] == 4000            # kept in full
+    assert 120 < by_kind["boilerplate"] < 280    # ~10% of 2000
+    # strata not named fall to default_fraction=0
+    dropped = stratified_sample(df, {"quality": 1.0}, "kind", "doc_id")
+    kinds = {r["kind"] for r in dropped.select("kind").distinct().collect()}
+    assert kinds == {"quality"}
