@@ -480,6 +480,20 @@ def q_jaccard_lsh(spark, sf_dir):
     return D.jaccard_on_candidates(both, pairs, threshold=0.05, shingle_n=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup clusters: connected components over the LSH
+    candidate-pair graph (A~B, B~C collapse to one cluster even when A~C
+    was never emitted) — iterative min-label propagation with per-iteration
+    lineage cuts; the DuckDB oracle computes the same components via a
+    recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    )
+    pairs = D.minhash_lsh_pairs(both, n_hashes=8, bands=4, shingle_n=3)
+    return D.connected_components(both.select("doc_id"), pairs)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -632,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_lsh": q_jaccard_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -1005,6 +1020,39 @@ def oracle_sql() -> dict[str, str]:
               JOIN shl b ON p.id_b = b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM rated WHERE jaccard >= 0.05
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE docs2 AS ({lsh_docs2}),
+            sh AS (
+              SELECT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT AS a,
+                     ('0x' || substr(md5(sh), 17, 15))::BIGINT | 1 AS b
+              FROM sh
+            ),
+            sig AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
+            banded AS (
+              {band_keys}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT doc_id, doc_id FROM docs2
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src
+            )
+            SELECT id AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "simhash_neardup": f"""
             WITH docs2 AS ({lsh_docs2}),

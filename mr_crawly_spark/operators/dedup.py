@@ -11,7 +11,7 @@ MinHash is oracle-checked bit-for-bit in __spark_entry__.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
@@ -340,3 +340,70 @@ def simhash_neardup_pairs(
         max_band_size=max_band_size,
         allow_missed_pairs=allow_missed_pairs,
     )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components of the near-dup pair
+    graph by iterative min-label propagation — the step that turns pairwise
+    candidates (minhash_lsh_pairs / simhash / embedding buckets) into "keep
+    one document per duplicate CLUSTER" (pairs alone under-dedup: A~B, B~C
+    must collapse A,B,C together even when A~C was never emitted).
+
+    Returns (id_col, cluster_id) with cluster_id = the smallest reachable
+    id; singleton docs are their own cluster. Deterministic at any
+    parallelism. Each iteration is one join + one map-side-combined min-agg
+    and converges in O(graph diameter) rounds (near-dup graphs are
+    overwhelmingly tiny stars, so 2-3 rounds in practice); every iteration
+    localCheckpoints so the plan never grows with iteration count (the
+    classic iterative-algorithm failure mode on Spark). At adversarial
+    diameters switch the propagation to the large-star/small-star
+    contraction (same loop shape, fewer rounds).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                "label",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label")))
+                .alias("_new"),
+            )
+        )
+        obs = Observation()
+        updated = proposed.observe(
+            obs, F.sum((F.col("_new") < F.col("label")).cast("long")).alias("changed")
+        ).select("id", F.col("_new").alias("label")).localCheckpoint()
+        labels = updated
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cluster_keepers(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per document with its cluster and whether it's the cluster's
+    keeper (the smallest id — the same keeper rule as exact_dedup)."""
+    cc = connected_components(ids, pairs, id_col)
+    return cc.withColumn("is_keeper", (F.col(id_col) == F.col("cluster_id")))

@@ -425,3 +425,39 @@ def test_embedding_neardup_multitable_amplification(spark):
     assert one <= two          # amplification only ADDS candidates
     for i, _ in rng[:30]:
         assert (i, i + 10**9) in two  # planted dups all recovered
+
+
+def test_connected_components_transitivity(spark):
+    """Pairs A~B, B~C must collapse to ONE cluster (pairwise dedup alone
+    under-dedups); chains prove multi-iteration propagation; singletons
+    keep their own id; keeper = smallest cluster member."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (8, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5,
+                   7: 7, 8: 8, 9: 8, 10: 10}
+    keep = {
+        r["doc_id"]: r["is_keeper"]
+        for r in D.cluster_keepers(ids, pairs).collect()
+    }
+    assert [k for k, v in sorted(keep.items()) if v] == [1, 5, 7, 8, 10]
+
+
+def test_connected_components_on_lsh_pairs(docs_df):
+    """End-to-end with real LSH pairs: exact dups 1/3 and near-dup 2 merge
+    into doc 1's cluster; unrelated docs stay apart."""
+    pairs = D.minhash_lsh_pairs(docs_df)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(
+            docs_df.select("doc_id"), pairs
+        ).collect()
+    }
+    assert got[1] == got[3] == 1      # exact dups share the cluster
+    assert got[6] == 6                # independent doc untouched
+    assert len(got) == 6              # every doc labeled
