@@ -251,6 +251,45 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The complete training-data preparation pass, composed end-to-end:
+    quality/language/length gates -> exact-dedup keeper per fingerprint ->
+    token-bounded chunking with overlap -> deterministic 50% chunk sample.
+    Every stage is an already-oracled operator; this entry proves the
+    COMPOSITION (the thing a 100-TB pipeline actually runs) stays exact."""
+    from mr_crawly_spark.operators.curation import (
+        chunk_documents,
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("pred_lang") == "en")
+        & F.col("n_tokens").between(5, 2000)
+    )
+    keepers = (
+        gated.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(gated.select("doc_id", "text"), "doc_id")
+    )
+    chunks = chunk_documents(keepers, max_tokens=40, overlap=8)
+    chunks = chunks.withColumn(
+        "chunk_key",
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_index")),
+    )
+    return deterministic_sample(chunks, 0.5, "chunk_key", salt="chunks").select(
+        "doc_id", "chunk_index", "chunk_text", "n_tokens"
+    )
+
+
 def q_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_signatures(docs, n_hashes=8, shingle_n=3)
@@ -627,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_documents,
         "sample_det": q_sample_deterministic,
+        "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -887,6 +927,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies,
                    min(n_tokens) AS n_tokens, min(quality) AS quality
             FROM gated GROUP BY fp
+        """,
+        "curation_pipeline": f"""
+            WITH gated AS (
+              SELECT doc_id, text, {fp} AS fp
+              FROM documents
+              WHERE {quality} >= 0.5
+                AND (CASE WHEN {stop_ratio} >= 0.03 THEN 'en' ELSE 'unk' END) = 'en'
+                AND {n_tok} BETWEEN 5 AND 2000
+            ),
+            keepers AS (
+              SELECT g.doc_id, g.text
+              FROM (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp) k
+              JOIN gated g ON g.doc_id = k.doc_id
+            ),
+            t AS (SELECT doc_id, {toks} AS w FROM keepers),
+            nc AS (
+              SELECT doc_id, w,
+                     1 + ceil(greatest(len(w) - 40, 0) / 32.0)::INT AS n_chunks
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_index
+              FROM nc
+            ),
+            chunks AS (
+              SELECT doc_id, chunk_index::BIGINT AS chunk_index,
+                     array_to_string(w[chunk_index * 32 + 1 :
+                                       chunk_index * 32 + 40], ' ') AS chunk_text,
+                     len(w[chunk_index * 32 + 1 : chunk_index * 32 + 40])::BIGINT
+                         AS n_tokens
+              FROM ch
+            )
+            SELECT doc_id, chunk_index, chunk_text, n_tokens
+            FROM chunks
+            WHERE ('0x' || substr(md5('chunks|' || doc_id::VARCHAR || ':'
+                                      || chunk_index::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 < 500000
         """,
         "minhash": f"""
             WITH sh AS (
