@@ -308,7 +308,7 @@ def q_neardup_jaccard(spark, sf_dir):
 def q_simhash16(spark, sf_dir):
     """16-bit SimHash (SQL-checkable slice of the 64-bit operator)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = D._spread(docs).select(
+    words = D.spread_for_compute(docs).select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def spread_for_compute(df: DataFrame) -> DataFrame:
     """Give CPU-heavy per-row work (shingling, per-token md5) enough input
     partitions. A small parquet with one row group scans as ONE task no
     matter the core count — file-level splitting cannot cut inside a row
@@ -65,7 +65,7 @@ def minhash_signatures(
     oracle reproduces values bit-for-bit.
     """
     assert n_hashes <= 8  # (a + 7b) < 2^63 bound
-    sh = _spread(documents).select(
+    sh = spread_for_compute(documents).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
@@ -154,7 +154,7 @@ def jaccard_pairs(
     shingle join is the O(pairs-sharing-a-shingle) path; at scale, run it on
     LSH candidates only (compose with minhash_lsh_pairs).
     """
-    sh = _spread(documents).select(
+    sh = spread_for_compute(documents).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
@@ -203,7 +203,7 @@ def jaccard_on_candidates(
     are plain equi-joins Catalyst can broadcast/shuffle as sizes dictate.
     Produces the same (id_a, id_b, jaccard) rows jaccard_pairs would for
     those pairs (dedup of shingles first, round to 4)."""
-    sh = _spread(documents).select(
+    sh = spread_for_compute(documents).select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
@@ -233,7 +233,7 @@ def simhash64(
     fingerprint = sign of sum_j(+1/-1). Uses explode + 60 conditional sums —
     one shuffle, map-side combined.
     """
-    words = _spread(documents).select(
+    words = spread_for_compute(documents).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")

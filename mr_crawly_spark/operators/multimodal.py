@@ -22,6 +22,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+
+from mr_crawly_spark.operators.dedup import spread_for_compute
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -93,9 +95,9 @@ def extract_features(
                 out["features"].append(feats)
             yield pd.DataFrame(out)
 
-    return media.select(
+    return spread_for_compute(media.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, MEDIA_FEATURES)
+    )).mapInPandas(run, MEDIA_FEATURES)
 
 
 RESIZED_MEDIA = StructType(
@@ -150,9 +152,9 @@ def resize_media(
                 out["payload"].append(thumb)
             yield pd.DataFrame(out)
 
-    return media.select(
+    return spread_for_compute(media.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, RESIZED_MEDIA)
+    )).mapInPandas(run, RESIZED_MEDIA)
 
 
 FRAME_FEATURES = StructType(
@@ -205,9 +207,9 @@ def sample_frames(
                     out["features"].append(feats)
             yield pd.DataFrame(out)
 
-    return media.select(
+    return spread_for_compute(media.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, FRAME_FEATURES)
+    )).mapInPandas(run, FRAME_FEATURES)
 
 
 def media_spans_to_payloads(documents: DataFrame) -> DataFrame:
