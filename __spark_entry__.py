@@ -144,6 +144,22 @@ def q_priority_order(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-authority crawl prioritization: PageRank power iteration over a
+    bipartite part->supplier link graph derived from lineitem. Fixed 5
+    iterations, damping 0.85, no dangling redistribution — the DuckDB
+    oracle unrolls the same iterations as chained CTEs, so values match to
+    the rounded digit."""
+    from mr_crawly_spark.operators.frontier import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, n_iterations=5)
+
+
 def q_events_agg(spark, sf_dir):
     """G1-G3: metric aggregation with map-side combine."""
     events = load_table(spark, sf_dir, "events")
@@ -658,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_transition": q_status_transition,
         "retry_backoff": q_retry_backoff,
         "priority_order": q_priority_order,
+        "pagerank": q_pagerank,
         "events_agg": q_events_agg,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -824,6 +841,79 @@ def oracle_sql() -> dict[str, str]:
                    CASE (l_linenumber - 1) % 3 WHEN 0 THEN 10.0
                         WHEN 1 THEN 30.0 ELSE 60.0 END AS backoff
             FROM lineitem
+        """,
+        "pagerank": """
+            WITH edges AS (
+              SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+                              's' || l_suppkey::VARCHAR AS dst
+              FROM lineitem
+            ),
+            nodes AS (
+              SELECT src AS url FROM edges UNION SELECT dst FROM edges
+            ),
+            outdeg AS (
+              SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src
+            ),
+            pr0 AS (
+              SELECT url, 1.0 / (SELECT count(*) FROM nodes) AS rank
+              FROM nodes
+            ),
+            pr1 AS (
+              SELECT n.url,
+                     (0.15 / (SELECT count(*) FROM nodes))
+                     + 0.85 * COALESCE((
+                         SELECT sum(p.rank / o.outdeg)
+                         FROM edges e
+                         JOIN pr0 p ON p.url = e.src
+                         JOIN outdeg o ON o.src = e.src
+                         WHERE e.dst = n.url), 0.0) AS rank
+              FROM nodes n
+            ),
+            pr2 AS (
+              SELECT n.url,
+                     (0.15 / (SELECT count(*) FROM nodes))
+                     + 0.85 * COALESCE((
+                         SELECT sum(p.rank / o.outdeg)
+                         FROM edges e
+                         JOIN pr1 p ON p.url = e.src
+                         JOIN outdeg o ON o.src = e.src
+                         WHERE e.dst = n.url), 0.0) AS rank
+              FROM nodes n
+            ),
+            pr3 AS (
+              SELECT n.url,
+                     (0.15 / (SELECT count(*) FROM nodes))
+                     + 0.85 * COALESCE((
+                         SELECT sum(p.rank / o.outdeg)
+                         FROM edges e
+                         JOIN pr2 p ON p.url = e.src
+                         JOIN outdeg o ON o.src = e.src
+                         WHERE e.dst = n.url), 0.0) AS rank
+              FROM nodes n
+            ),
+            pr4 AS (
+              SELECT n.url,
+                     (0.15 / (SELECT count(*) FROM nodes))
+                     + 0.85 * COALESCE((
+                         SELECT sum(p.rank / o.outdeg)
+                         FROM edges e
+                         JOIN pr3 p ON p.url = e.src
+                         JOIN outdeg o ON o.src = e.src
+                         WHERE e.dst = n.url), 0.0) AS rank
+              FROM nodes n
+            ),
+            pr5 AS (
+              SELECT n.url,
+                     (0.15 / (SELECT count(*) FROM nodes))
+                     + 0.85 * COALESCE((
+                         SELECT sum(p.rank / o.outdeg)
+                         FROM edges e
+                         JOIN pr4 p ON p.url = e.src
+                         JOIN outdeg o ON o.src = e.src
+                         WHERE e.dst = n.url), 0.0) AS rank
+              FROM nodes n
+            )
+            SELECT url, round(rank, 4) AS rank FROM pr5
         """,
         "priority_order": """
             SELECT rank, o_orderkey, o_orderpriority, o_totalprice

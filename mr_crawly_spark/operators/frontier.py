@@ -218,3 +218,56 @@ def apply_updates(frontier: DataFrame, updates: DataFrame) -> DataFrame:
         )
         .drop("new_status", "new_retry_count", "new_next_attempt_at")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-graph PageRank for crawl prioritization (beyond the reference:
+    its priority is sitemap-declared only; a production frontier ranks by
+    link authority too). Classic power iteration over the links table:
+
+        rank_{t+1}(v) = (1-d)/N + d * Σ_{u->v} rank_t(u) / outdeg(u)
+
+    Fixed iteration count (deterministic — same variant as the DuckDB
+    oracle; dangling-node mass is NOT redistributed, documented choice both
+    engines share). Each iteration is one join + one map-side-combined sum
+    keyed on dst; ranks localCheckpoint per iteration so the plan never
+    grows with iteration count. Returns (url, rank) for every node.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .dropDuplicates(["url"])
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = e.join(outdeg, "src").localCheckpoint(eager=False)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(n_iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.url)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.url == contribs.dst, "left")
+            .select(
+                "url",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("url", F.round(F.col("rank"), 4).alias("rank"))

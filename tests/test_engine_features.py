@@ -355,3 +355,26 @@ def test_sitemap_remap_updates_existing_records(spark, tiny_corpus):
     for k in changed:
         pri, mod, status = after[k]
         assert (pri, mod, status) == (0.9, "2026-01-01", "remapped")
+
+
+def test_pagerank_authority_ordering(spark):
+    """Hub receives rank from its in-links; matches a python power-iteration
+    reference on a known graph."""
+    from mr_crawly_spark.operators.frontier import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("d", "b"), ("b", "a")],
+        "src string, dst string",
+    )
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iterations=20).collect()}
+    r = {v: 0.25 for v in "abcd"}
+    out = {"a": ["b"], "c": ["b"], "d": ["b"], "b": ["a"]}
+    for _ in range(20):
+        r = {
+            v: 0.15 / 4
+            + 0.85 * sum(r[u] / len(out[u]) for u in "abcd" if v in out.get(u, []))
+            for v in "abcd"
+        }
+    for v in "abcd":
+        assert abs(got[v] - r[v]) < 1e-3, v
+    assert got["b"] == max(got.values())  # the hub ranks highest
