@@ -449,17 +449,29 @@ def _materialize_crawl_seen_oracle() -> str:
 
     res = OracleCrawler(generate_corpus(**_CRAWL_SEEN_CORPUS)).run()
     rows = sorted((e.url, e.discovered_round) for e in res.frontier.values())
+    table = pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "first_seen_round": pa.array([r for _, r in rows], pa.int64()),
+    })
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "oracle", "crawl_seen_expected.parquet",
     )
-    pq.write_table(
-        pa.table({
-            "url": pa.array([u for u, _ in rows], pa.string()),
-            "first_seen_round": pa.array([r for _, r in rows], pa.int64()),
-        }),
-        path,
-    )
+    try:
+        pq.write_table(table, path)
+    except OSError:
+        # read-only checkout: the committed copy is identical (the corpus
+        # and oracle are deterministic) — fall back to it, else a temp file,
+        # so one unwritable path never fails EVERY oracle entry
+        if os.path.exists(path):
+            return path
+        import tempfile
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="crawl_seen_oracle_"),
+            "crawl_seen_expected.parquet",
+        )
+        pq.write_table(table, path)
     return path
 
 
@@ -988,7 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,
                    len(regexp_extract_all(text,
-                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT
                        AS n_tokens_bpe
             FROM documents
         """,
