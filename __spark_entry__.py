@@ -561,6 +561,20 @@ def q_dedup_clusters(spark, sf_dir):
     return D.connected_components(both.select("doc_id"), pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same transitive clusters computed by LARGE-STAR/SMALL-STAR
+    contraction (Kiveris et al. 2014) — the adversarial-diameter scale path
+    (O(log n) rounds vs O(diameter) for plain min-label propagation). The
+    labels are IDENTICAL to dedup_clusters, so the DuckDB oracle is the
+    same recursive-CTE component closure."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    )
+    pairs = D.minhash_lsh_pairs(both, n_hashes=8, bands=4, shingle_n=3)
+    return D.connected_components_star(both.select("doc_id"), pairs)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -716,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_lsh": q_jaccard_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -1393,4 +1408,6 @@ def oracle_sql() -> dict[str, str]:
     # against the same ground truth
     d["crawl_seen_cuckoo"] = d["crawl_seen"]
     d["ann_lsh_indexed"] = d["ann_lsh"]
+    # star contraction computes the SAME components as min-label propagation
+    d["dedup_clusters_star"] = d["dedup_clusters"]
     return d

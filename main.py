@@ -23,6 +23,10 @@ from mr_crawly_spark.sources.corpus import CorpusFetcher
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="mr-crawly-spark crawl driver")
+    p.add_argument("url", nargs="?", default=None,
+                   help="single seed URL (reference CLI `main.py <url>`, "
+                        "reference main.py:29): crawl just this seed's "
+                        "host; overrides --seeds/--seeds-file")
     p.add_argument("--hosts", type=int, default=8)
     p.add_argument("--base-pages", type=int, default=40)
     p.add_argument("--hot-factor", type=int, default=6)
@@ -40,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--retries", type=int, default=None,
                    help="max fetch attempts per URL (reference main.py --retries)")
+    p.add_argument("--delay", type=float, default=None,
+                   help="default crawl delay in seconds for hosts without a "
+                        "robots Crawl-delay (reference README --delay, "
+                        "default 10.0); sets the per-round host budget "
+                        "clamp(ROUND_SECONDS/delay)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--corpus-path", default=None,
                    help="bucketed parquet corpus (else generate in-memory)")
@@ -71,6 +80,7 @@ def resolve_config(args: argparse.Namespace) -> CrawlConfig:
         max_pages=args.max_pages,
         max_rounds=args.max_rounds,
         max_retries=args.retries,
+        default_delay=args.delay,
         salt_partitions=args.salt_partitions,
         use_bloom=args.use_bloom,
         use_cuckoo=args.use_cuckoo,
@@ -108,7 +118,14 @@ def main(argv: list[str] | None = None) -> int:
         hot_factor=args.hot_factor, n_seeds=args.seeds,
     )
     docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
-    if args.seeds_file:
+    if args.url:
+        # reference CLI parity: `main.py <url>` crawls that one seed (the
+        # reference's positional url, main.py:29) — the generated corpus
+        # still provides the fetchable documents/robots/sitemaps
+        from mr_crawly_spark.sources.seeds import seeds_from_urls
+
+        seeds = seeds_from_urls(spark, [args.url])
+    elif args.seeds_file:
         from mr_crawly_spark.sources.seeds import load_seeds
 
         seeds = load_seeds(spark, args.seeds_file)

@@ -65,16 +65,20 @@ class Corpus:
     def doc_ids(self) -> set[str]:
         return {d["doc_id"] for d in self.documents}
 
-    def crawl_delay(self, host: str) -> float:
+    def crawl_delay(
+        self, host: str, default: float = DEFAULT_CRAWL_DELAY
+    ) -> float:
         """Pinned aggregation rule: MAX over the host's non-null delays —
         the same rule as operators/politeness.py:host_budgets, so engine and
-        oracle agree even if a host's rows ever carry mixed delays."""
+        oracle agree even if a host's rows ever carry mixed delays.
+        ``default`` is the CLI ``--delay`` knob (reference README.md:45):
+        the per-request delay for hosts that declare none."""
         delays = [
             r["crawl_delay"]
             for r in self.robots
             if r["host"] == host and r["crawl_delay"] is not None
         ]
-        return max(delays) if delays else DEFAULT_CRAWL_DELAY
+        return max(delays) if delays else default
 
     def robots_disallows(self, host: str) -> list[str]:
         return [

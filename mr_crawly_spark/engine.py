@@ -35,6 +35,7 @@ log = logging.getLogger("mr_crawly_spark.engine")
 from mr_crawly_spark import schemas as S
 from mr_crawly_spark.datagen import (
     BACKOFF,
+    DEFAULT_CRAWL_DELAY,
     MAX_PER_HOST_PER_ROUND,
     MAX_RETRIES,
     ROUND_SECONDS,
@@ -48,7 +49,11 @@ from mr_crawly_spark.operators.frontier import (
     select_slice,
 )
 from mr_crawly_spark.operators.parse import extract_outlinks
-from mr_crawly_spark.operators.politeness import host_budgets, robots_gate
+from mr_crawly_spark.operators.politeness import (
+    default_k_host,
+    host_budgets,
+    robots_gate,
+)
 from mr_crawly_spark.operators.sitemap import bootstrap_frontier_urls, expand_sitemaps
 from mr_crawly_spark.plans.catalog import SnapshotCatalog
 from mr_crawly_spark.sources.corpus import CorpusFetcher
@@ -96,6 +101,19 @@ class CrawlConfig:
     # attempts per URL. The sequential oracle takes the same value so the
     # golden tests stay in lockstep at any setting.
     max_retries: int = MAX_RETRIES
+    # reference `--delay` (README.md:45,56 documents a default per-request
+    # delay; the reference code never implements it): the crawl delay for
+    # hosts that declare none in robots. Drives the per-round host budget
+    # k = clamp(ROUND_SECONDS / delay); robots Crawl-delay always wins for
+    # hosts that set one. Oracle takes the same value (lockstep).
+    default_delay: float = DEFAULT_CRAWL_DELAY
+    # opt-in link-authority frontier ordering (beyond the reference, whose
+    # priority is sitemap-declared only): when enabled AND ranks have been
+    # computed (refresh_pagerank), the round's slice orders by
+    # priority + pagerank_weight * rank. OFF by default — the golden
+    # oracle-lockstep ordering is unchanged unless an operator opts in.
+    use_pagerank_priority: bool = False
+    pagerank_weight: float = 1.0
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -134,7 +152,11 @@ class CrawlEngine:
         self.catalog = SnapshotCatalog(spark, config.warehouse)
         # reused every round; broadcast in select_slice only while the rule
         # count stays under the gate (see _robots_row_bound)
-        self.budgets = host_budgets(self.robots).localCheckpoint(eager=False)
+        self.budgets = host_budgets(
+            self.robots, config.default_delay
+        ).localCheckpoint(eager=False)
+        # budget for hosts with no robots rows at all (--delay knob)
+        self._default_k = default_k_host(config.default_delay)
         self._robots_rows: int | None = None
         self.visited_count = 0
         self.round = 0
@@ -148,6 +170,8 @@ class CrawlEngine:
         self._bloom_mk: tuple[int, int] | None = None
         self._cuckoo: dict[int, bytes] | None = None
         self._cuckoo_rows: int | None = None
+        # (url, rank) from the last refresh_pagerank(); None until computed
+        self._ranks: DataFrame | None = None
         # in-memory state between parquet snapshots. The frontier is held
         # merge-on-read: an immutable base (last snapshot) + a small
         # localCheckpoint'ed last-writer-wins update set — a round never
@@ -568,6 +592,11 @@ class CrawlEngine:
             # lossless — and it unlocks the map-side WindowGroupLimit
             k_cap=MAX_PER_HOST_PER_ROUND,
             budget_rows=self._robots_row_bound(),
+            default_k=self._default_k,
+            ranks=(
+                self._ranks if self.cfg.use_pagerank_priority else None
+            ),
+            rank_weight=self.cfg.pagerank_weight,
         )
         gated = robots_gate(
             sliced, self.robots, approx_rule_rows=self._robots_row_bound()
@@ -808,14 +837,13 @@ class CrawlEngine:
         if self.cfg.use_bloom and n_new:
             self._bloom_add_delta(seen_delta_ck)
         if self.cfg.use_cuckoo and self._cuckoo is not None and n_new:
-            # driver-side incremental insert: the delta is bounded by the
-            # round's discovery (slice-sized); at cluster scale shard it per
-            # executor like the Bloom sidecar
-            hashes = [
-                r[0] for r in seen_delta_ck.select("url_hash").collect()
-            ]
-            seen_ops.cuckoo_add(
-                self._cuckoo, hashes, self.cfg.bloom_buckets, self._cuckoo_rows
+            # distributed incremental insert (the _bloom_add_delta twin):
+            # executors build per-bucket delta tables over the round's new
+            # urls; the driver merges KB-sized table bytes per touched
+            # bucket — url hashes never funnel through the driver
+            seen_ops.cuckoo_add_delta(
+                self._cuckoo, seen_delta_ck,
+                self.cfg.bloom_buckets, self._cuckoo_rows,
             )
 
         # pure-python assignment block: the py4j calls above can be
@@ -950,6 +978,26 @@ class CrawlEngine:
         self._flushed_round = r
 
     # ------------------------------------------------------------------ #
+    def refresh_pagerank(self, n_iterations: int = 10) -> int:
+        """Compute link-authority ranks over the links table and arm the
+        frontier's opt-in PageRank ordering (cfg.use_pagerank_priority):
+        subsequent rounds slice by priority + pagerank_weight * rank. Rank
+        refresh is an explicit operator action (like schedule_recrawl), not
+        a per-round cost — power iteration is n_iterations jobs over the
+        full link graph, so at 10^10-edge scale it runs at recrawl cadence.
+        Returns the number of ranked urls."""
+        from mr_crawly_spark.operators.frontier import pagerank
+
+        links = self.table("links")  # flushes pending round state first
+        if links is None:
+            return 0
+        ranks = pagerank(
+            links, n_iterations=n_iterations,
+            src_col="source_url", dst_col="linked_url",
+        )
+        self._ranks = ranks.localCheckpoint()
+        return self._ranks.count()
+
     def schedule_recrawl(self, t_now: float | None = None) -> int:
         """Re-enqueue stale fetched pages per their sitemap ``change_freq``
         (O2): fetched rows with recrawl metadata flip back to pending with

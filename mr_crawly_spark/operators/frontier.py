@@ -34,6 +34,9 @@ def select_slice(
     salt: int = 16,
     k_cap: int | None = None,
     budget_rows: int | None = None,
+    default_k: int = DEFAULT_K_HOST,
+    ranks: DataFrame | None = None,
+    rank_weight: float = 1.0,
 ) -> DataFrame:
     """Eligible pending entries, per-host top-k (O3), salted for skew.
 
@@ -67,10 +70,29 @@ def select_slice(
     if budget_rows is not None and budget_rows <= BROADCAST_ROW_LIMIT:
         b = F.broadcast(b)
     eligible = eligible.join(b, "host", "left").withColumn(
-        "k_host", F.coalesce(F.col("k_host"), F.lit(DEFAULT_K_HOST))
+        "k_host", F.coalesce(F.col("k_host"), F.lit(int(default_k)))
     )
+    pri = F.col("priority")
+    if ranks is not None:
+        # opt-in link-authority ordering (engine.refresh_pagerank): blend
+        # PageRank into the ORDERING priority only — the stored priority
+        # column rides through untouched, so the blend never accumulates
+        # across rounds or leaks into frontier state. The join keys the
+        # ELIGIBLE set against (url, rank); both sides hash-partition on
+        # url — at 10^10 frontier scale this is the unavoidable shuffle of
+        # ranking by a computed per-url score, paid only when opted in.
+        eligible = (
+            eligible.join(ranks.select("url", "rank"), "url", "left")
+            .withColumn(
+                "_opri",
+                F.col("priority")
+                + F.lit(float(rank_weight)) * F.coalesce(F.col("rank"), F.lit(0.0)),
+            )
+            .drop("rank")
+        )
+        pri = F.col("_opri")
     order = [
-        F.col("priority").desc(), F.col("discovered_round").asc(), F.col("url").asc()
+        pri.desc(), F.col("discovered_round").asc(), F.col("url").asc()
     ]
     if salt_partitions:
         # two-phase top-k: the hot host's window would otherwise be a single
@@ -90,7 +112,7 @@ def select_slice(
     sliced = (
         eligible.withColumn("_rn", F.row_number().over(w))
         .filter(rank_filter(F.col("_rn")))
-        .drop("_rn", "k_host")
+        .drop("_rn", "k_host", "_opri")
     )
     if salt_partitions:
         # spread the hot host before the fetch join / parse explode

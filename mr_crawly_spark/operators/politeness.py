@@ -146,10 +146,18 @@ def parse_robots_txt(
     ).unionByName(delay_only)
 
 
-def host_budgets(robots: DataFrame) -> DataFrame:
+def host_budgets(
+    robots: DataFrame, default_delay: float = DEFAULT_CRAWL_DELAY
+) -> DataFrame:
     """Per-host fetch budget for one round: floor(ROUND_SECONDS/crawl_delay),
     clamped to [1, MAX_PER_HOST_PER_ROUND]. Hosts without robots rows get the
-    default via the left-join coalesce in the frontier slice (frontier.py)."""
+    default via the left-join coalesce in the frontier slice (frontier.py).
+
+    ``default_delay`` is the CLI ``--delay`` knob (reference README.md:45
+    documents a default per-request delay; its code never implements it —
+    we complete the promised politeness envelope): hosts whose robots rows
+    carry no Crawl-delay fall back to it, matching the oracle's
+    Corpus.crawl_delay(host, default) rule exactly."""
     return (
         robots.groupBy("host")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
@@ -159,7 +167,15 @@ def host_budgets(robots: DataFrame) -> DataFrame:
                 F.lit(1),
                 F.least(
                     F.lit(MAX_PER_HOST_PER_ROUND),
-                    F.floor(F.lit(ROUND_SECONDS) / F.greatest(F.col("crawl_delay"), F.lit(1e-9))).cast("int"),
+                    F.floor(
+                        F.lit(ROUND_SECONDS)
+                        / F.greatest(
+                            F.coalesce(
+                                F.col("crawl_delay"), F.lit(float(default_delay))
+                            ),
+                            F.lit(1e-9),
+                        )
+                    ).cast("int"),
                 ),
             ),
         )
@@ -167,6 +183,13 @@ def host_budgets(robots: DataFrame) -> DataFrame:
     )
 
 
-DEFAULT_K_HOST = max(
-    1, min(MAX_PER_HOST_PER_ROUND, int(ROUND_SECONDS // DEFAULT_CRAWL_DELAY))
-)
+def default_k_host(delay: float = DEFAULT_CRAWL_DELAY) -> int:
+    """Round budget for a host with no robots rows at all — the DataFrame-
+    free twin of host_budgets' clamp, applied via the left-join coalesce in
+    frontier.select_slice. Must equal datagen.host_budget(delay)."""
+    return max(
+        1, min(MAX_PER_HOST_PER_ROUND, int(ROUND_SECONDS // max(delay, 1e-9)))
+    )
+
+
+DEFAULT_K_HOST = default_k_host(DEFAULT_CRAWL_DELAY)

@@ -364,52 +364,81 @@ def _cuckoo_fp_i1_i2(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(fingerprint, primary row, alternate row) per 64-bit hash. fp==0 is
     reserved for empty slots, so fingerprints are remapped to 1. The hash is
-    avalanche-mixed first (odd-constant multiply is a bijection mod 2^64):
-    the fingerprint must not depend on raw high bits — low-entropy inputs
-    (small ints) would collapse every key to one fingerprint."""
+    avalanche-mixed first (odd-constant multiply is a bijection mod 2^64);
+    BOTH the fingerprint and the primary row come from the MIXED hash:
+
+    - fp from raw high bits would collapse low-entropy inputs (small ints)
+      to one fingerprint;
+    - i1 from LOW bits (raw OR mixed) would collapse under the engine's
+      bucket shard — keys reach a bucket via pmod(url_hash, n_buckets) with
+      power-of-two n_buckets, so within a bucket the low log2(n_buckets)
+      bits are CONSTANT, and an odd-constant multiply PRESERVES that (a
+      multiple of 2^b times odd stays a multiple of 2^b): only
+      n_rows/n_buckets primary rows would ever be used (measured: 6170 keys
+      in a 2048-row table hit 64 rows and saturated at 0.75 load). So i1
+      takes bits 16+ of hm — a product's high-side bits depend on every
+      input bit; fp uses bits 48+, disjoint for any practical n_rows."""
     mask = np.uint64(n_rows - 1)
     hm = h * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
     fp = ((hm >> np.uint64(48)) & _FP_MASK).astype(np.uint64)
     fp[fp == 0] = 1
-    i1 = h & mask
+    i1 = (hm >> np.uint64(16)) & mask
     i2 = (i1 ^ (fp * _FP_MIX)) & mask
     return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
+
+
+def _place_fp(tbl: np.ndarray, fp: int, i1: int, i2: int, mask: np.uint64) -> bool:
+    """Place one fingerprint into (i1 | i2), evicting up to MAX_KICKS.
+    Duplicate fingerprints are STORED, not skipped (Fan et al. §3): two
+    distinct keys colliding on (fp, row-class) occupy two slots, so
+    cuckoo_delete removes ONE copy and the other key keeps probing positive
+    — the no-false-negative contract survives deletion. Each inserted key
+    adds exactly one copy, so duplicates are naturally bounded by the
+    caller's insert-once discipline (the engine only ever inserts a URL the
+    round it first becomes seen)."""
+    for row in (i1, i2):
+        free = np.flatnonzero(tbl[row] == 0)
+        if free.size:
+            tbl[row, free[0]] = fp
+            return True
+    # eviction chain: deterministic victim slot (kick counter mod ways)
+    row, cur = i1, fp
+    for kick in range(MAX_KICKS):
+        slot = kick % SLOTS_PER_BUCKET
+        cur, tbl[row, slot] = int(tbl[row, slot]), cur
+        row = int((np.uint64(row) ^ (np.uint64(cur) * _FP_MIX)) & mask)
+        free = np.flatnonzero(tbl[row] == 0)
+        if free.size:
+            tbl[row, free[0]] = cur
+            return True
+    return False
 
 
 def _cuckoo_insert_all(h: np.ndarray, n_rows: int) -> bytes:
     """Build one bucket's table; b'' (saturated sentinel) if any key cannot
     be placed within MAX_KICKS evictions."""
-    tbl = np.zeros((n_rows, SLOTS_PER_BUCKET), dtype=np.uint16)
-    fps, i1s, i2s = _cuckoo_fp_i1_i2(h, n_rows)
-    mask = np.uint64(n_rows - 1)
-    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
-        if fp in tbl[i1] or fp in tbl[i2]:
-            continue  # already present (same fp + rows == same key class)
-        placed = False
-        for row in (i1, i2):
-            free = np.flatnonzero(tbl[row] == 0)
-            if free.size:
-                tbl[row, free[0]] = fp
-                placed = True
-                break
-        if placed:
-            continue
-        # eviction chain: deterministic victim slot (kick counter mod ways)
-        row, cur = i1, fp
-        for kick in range(MAX_KICKS):
-            slot = kick % SLOTS_PER_BUCKET
-            cur, tbl[row, slot] = int(tbl[row, slot]), cur
-            row = int(
-                (np.uint64(row) ^ (np.uint64(cur) * _FP_MIX)) & mask
-            )
-            free = np.flatnonzero(tbl[row] == 0)
-            if free.size:
-                tbl[row, free[0]] = cur
-                placed = True
-                break
-        if not placed:
-            return b""  # saturated: prefilter degrades, never lies
-    return tbl.tobytes()
+    return _cuckoo_insert_into(
+        np.zeros((n_rows, SLOTS_PER_BUCKET), dtype=np.uint16), h, n_rows
+    )
+
+
+def _cuckoo_df(seen: DataFrame, n_buckets: int, n_rows: int) -> DataFrame:
+    """(bucket, bits) cuckoo tables built DISTRIBUTED via applyInPandas —
+    one task per engine bucket; the full filter never exists in one task."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["_bucket"].iloc[0])],
+             "bits": [_cuckoo_insert_all(h, n_rows)]}
+        )
+
+    return (
+        seen.select("url_hash")
+        .withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
+        .groupBy("_bucket")
+        .applyInPandas(build, "bucket int, bits binary")
+    )
 
 
 def build_bucket_cuckoos(
@@ -423,31 +452,53 @@ def build_bucket_cuckoos(
             f"cuckoo of {total} bytes exceeds the driver gate "
             f"({MAX_DRIVER_BLOOM_BYTES}); shard it like the Bloom sidecar"
         )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.DataFrame(
-            {"bucket": [int(pdf["_bucket"].iloc[0])],
-             "bits": [_cuckoo_insert_all(h, n_rows)]}
-        )
-
-    rows = (
-        seen.select("url_hash")
-        .withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
-        .groupBy("_bucket")
-        .applyInPandas(build, "bucket int, bits binary")
-        .collect()
-    )
+    rows = _cuckoo_df(seen, n_buckets, n_rows).collect()
     return {r["bucket"]: bytes(r["bits"]) for r in rows}
+
+
+def cuckoo_add_delta(
+    tables: dict[int, bytes],
+    seen_delta: DataFrame,
+    n_buckets: int,
+    n_rows: int,
+) -> None:
+    """Fold a round's seen delta into the driver-resident filter — the
+    cuckoo twin of engine._bloom_add_delta, fully distributed (r3 verdict
+    #1): executors build per-bucket delta tables from the delta's url_hash
+    column (applyInPandas, one task per touched bucket); the driver then
+    merges TABLE BYTES per bucket (KBs) instead of collecting raw url-hash
+    lists through the driver. A bucket whose merge overflows flips to the
+    saturated sentinel — degrades to maybe-seen, never a false negative."""
+    delta = {
+        r["bucket"]: bytes(r["bits"])
+        for r in _cuckoo_df(seen_delta, n_buckets, n_rows).collect()
+    }
+    for b, bits in delta.items():
+        existing = tables.get(b)
+        if existing == b"":
+            continue  # already saturated
+        if bits == b"":
+            tables[b] = b""  # delta alone overflowed -> merged surely would
+            continue
+        if existing is None:
+            tables[b] = bits
+            continue
+        tbl = np.frombuffer(existing, dtype=np.uint16).reshape(
+            n_rows, SLOTS_PER_BUCKET
+        ).copy()
+        d = np.frombuffer(bits, dtype=np.uint16).reshape(
+            n_rows, SLOTS_PER_BUCKET
+        )
+        tables[b] = _cuckoo_merge_tables(tbl, d, n_rows)
 
 
 def cuckoo_add(
     tables: dict[int, bytes], url_hashes: list[int], n_buckets: int, n_rows: int
 ) -> None:
-    """Insert a round's (slice-sized) delta of url hashes in place — the
-    incremental twin of _bloom_add_delta. Driver-side: the delta is bounded
-    by the round's slice; at cluster scale shard this per executor like the
-    Bloom sidecar. A bucket that overflows flips to the saturated sentinel."""
+    """Driver-side insert of a small url-hash list (tests / tooling; the
+    engine round loop uses cuckoo_add_delta, which never moves hashes
+    through the driver). A bucket that overflows flips to the saturated
+    sentinel."""
     by_bucket: dict[int, list[int]] = {}
     for signed in url_hashes:
         by_bucket.setdefault(signed % n_buckets, []).append(signed)
@@ -462,38 +513,40 @@ def cuckoo_add(
         tbl = np.frombuffer(existing, dtype=np.uint16).reshape(
             n_rows, SLOTS_PER_BUCKET
         ).copy()
-        # re-insert: seed the builder with existing fingerprints is not
-        # possible (fps are one-way), so insert the new keys into the
-        # existing table directly
+        # fps are one-way (cannot rebuild from keys), so insert the new
+        # keys into the existing table directly
         tables[b] = _cuckoo_insert_into(tbl, h_new, n_rows)
 
 
 def _cuckoo_insert_into(tbl: np.ndarray, h: np.ndarray, n_rows: int) -> bytes:
+    """Insert the keys of ``h`` into an existing table (in place); b'' when
+    any key cannot be placed."""
     fps, i1s, i2s = _cuckoo_fp_i1_i2(h, n_rows)
     mask = np.uint64(n_rows - 1)
     for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
-        if fp in tbl[i1] or fp in tbl[i2]:
-            continue
-        placed = False
-        for row in (i1, i2):
-            free = np.flatnonzero(tbl[row] == 0)
-            if free.size:
-                tbl[row, free[0]] = fp
-                placed = True
-                break
-        if placed:
-            continue
-        row, cur = i1, fp
-        for kick in range(MAX_KICKS):
-            slot = kick % SLOTS_PER_BUCKET
-            cur, tbl[row, slot] = int(tbl[row, slot]), cur
-            row = int((np.uint64(row) ^ (np.uint64(cur) * _FP_MIX)) & mask)
-            free = np.flatnonzero(tbl[row] == 0)
-            if free.size:
-                tbl[row, free[0]] = cur
-                placed = True
-                break
-        if not placed:
+        if not _place_fp(tbl, fp, i1, i2, mask):
+            return b""  # saturated: prefilter degrades, never lies
+    return tbl.tobytes()
+
+
+def _cuckoo_merge_tables(
+    tbl: np.ndarray, delta: np.ndarray, n_rows: int
+) -> bytes:
+    """Fold a DELTA cuckoo table (same geometry) into ``tbl`` in place.
+
+    Fingerprints are one-way, but a stored fp at row r fully determines its
+    key class {r, r ^ mix(fp)} (the xor is involutive on a power-of-two
+    table), so re-placing each delta (row, fp) at exactly those two rows
+    preserves probe correctness — this is what makes the DISTRIBUTED
+    incremental add possible: executors build per-bucket tables of just the
+    round's new keys, and the driver merges table bytes instead of
+    receiving raw url hashes (r3 verdict #1)."""
+    mask = np.uint64(n_rows - 1)
+    rows, slots = np.nonzero(delta)
+    for r, s in zip(rows.tolist(), slots.tolist()):
+        fp = int(delta[r, s])
+        alt = int((np.uint64(r) ^ (np.uint64(fp) * _FP_MIX)) & mask)
+        if not _place_fp(tbl, fp, r, alt, mask):
             return b""
     return tbl.tobytes()
 
@@ -504,7 +557,12 @@ def cuckoo_delete(
     """Remove one key's fingerprint (the cuckoo capability a Bloom lacks —
     e.g. force-refetch a URL without rebuilding the whole prefilter).
     Returns True if a fingerprint was cleared. Deleting from a saturated
-    bucket is a no-op (it already answers maybe for everything)."""
+    bucket is a no-op (it already answers maybe for everything).
+
+    Safe for inserted keys: inserts STORE duplicate fingerprints (see
+    _place_fp), so when two live keys collide on (fp, row-class) each owns
+    a slot — deleting one clears one copy and the other still probes
+    positive. Delete exactly as many times as you inserted."""
     b = url_hash % n_buckets
     existing = tables.get(b)
     if not existing:  # absent or saturated sentinel

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 from mr_crawly_spark.datagen import (
     BACKOFF,
+    DEFAULT_CRAWL_DELAY,
     DEFAULT_PRIORITY,
     MAX_RETRIES,
     ROUND_SECONDS,
@@ -92,6 +93,7 @@ class OracleCrawler:
         max_pages: int = 10**9,
         max_rounds: int = 100,
         max_retries: int = MAX_RETRIES,
+        default_delay: float = DEFAULT_CRAWL_DELAY,
     ):
         self.c = corpus
         self.max_pages = max_pages
@@ -99,6 +101,10 @@ class OracleCrawler:
         # CLI `--retries` parity (reference main.py:33-38) — must equal the
         # engine's CrawlConfig.max_retries for golden lockstep
         self.max_retries = max_retries
+        # CLI `--delay` parity (reference README.md:45): crawl delay for
+        # hosts without a robots Crawl-delay — must equal the engine's
+        # CrawlConfig.default_delay for golden lockstep
+        self.default_delay = default_delay
         self.docs = {d["doc_id"]: d["spans"] for d in corpus.documents}
         self.sitemaps = {s["url"]: s for s in corpus.sitemaps_raw}
         self.res = OracleResult()
@@ -219,7 +225,7 @@ class OracleCrawler:
         slice_: list[Entry] = []
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (-e.priority, e.discovered_round, e.url))
-            k = host_budget(self.c.crawl_delay(host))
+            k = host_budget(self.c.crawl_delay(host, self.default_delay))
             slice_.extend(entries[:k])
         # in-round global order O5
         slice_.sort(key=lambda e: (e.host, -e.priority, e.discovered_round, e.url))

@@ -169,3 +169,37 @@ def test_retries_knob_lockstep(spark, small_corpus, retries):
         }
         assert errored  # 503 urls became permanent errors
         assert not (errored & set(got))
+
+
+@pytest.mark.parametrize("delay", [30.0, 2.0])
+def test_delay_knob_lockstep(spark, small_corpus, delay):
+    """CLI --delay parity (reference README.md:45 documents a default
+    per-request delay; its code never implements it): the engine's
+    CrawlConfig.default_delay and the oracle's default_delay produce
+    identical crawls at any setting. delay=30 shrinks ruleless hosts'
+    per-round budget to 2 (vs 6 at the default 10s); delay=2 saturates the
+    MAX_PER_HOST_PER_ROUND cap at 8. Odd-numbered corpus hosts carry no
+    robots rows (datagen), so the knob is live."""
+    oracle = OracleCrawler(small_corpus, default_delay=delay).run()
+    engine = build_engine(spark, small_corpus, default_delay=delay)
+    engine.run()
+    got = [r["url"] for r in engine.crawl_order().orderBy("rank").collect()]
+    assert got == oracle.crawl_order
+    got_seen = {r["url"] for r in engine.table("seen").collect()}
+    assert got_seen == oracle.seen
+
+
+def test_delay_knob_changes_round_shape(spark, small_corpus):
+    """The knob actually binds: at delay=30 a ruleless host fetches at most
+    2 urls per round (vs up to 6 at the default)."""
+    from mr_crawly_spark.datagen import host_budget
+
+    assert host_budget(30.0) == 2 and host_budget(10.0) == 6
+    # delay=60 -> budget 1/round for ruleless hosts; their pages serialize
+    # and the crawl provably takes more rounds than the default
+    oracle_slow = OracleCrawler(small_corpus, default_delay=60.0).run()
+    oracle_default = OracleCrawler(small_corpus).run()
+    assert oracle_slow.rounds_run > oracle_default.rounds_run
+    assert oracle_slow.crawl_order and (
+        set(oracle_slow.crawl_order) == set(oracle_default.crawl_order)
+    )  # throttling changes WHEN, never WHAT

