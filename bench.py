@@ -75,6 +75,15 @@ def main() -> int:
         force(queries[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # engine-path warmup (untimed): the first engine run in a JVM pays JIT,
+    # codegen-cache and committer class-loading that no analytics query
+    # touches (~10 s measured) — run a tiny crawl first so the timed number
+    # is the steady-state round cost, comparable across rounds.
+    crawl_e2e_job(
+        spark, tempfile.mkdtemp(prefix="bench_warm_"),
+        n_hosts=4, base_pages=4, hot_factor=2,
+    )
+
     t0 = time.monotonic()
     crawl = crawl_e2e_job(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
     timings["crawl_e2e"] = round(time.monotonic() - t0, 3)

@@ -191,6 +191,81 @@ class CrawlEngine:
         # materialization jobs per round)
         self._round_persists: list[DataFrame] = []
         self._last_metrics: dict = {}
+        # round-invariant Column expression trees, built ONCE per engine:
+        # rebuilding them every round cost ~1.5k py4j round-trips (~1 s of
+        # pure driver latency per round — the dominant share of the
+        # per-round floor at sandbox scale, and serial driver time that
+        # caps round cadence at any scale). Only the r/t literals vary.
+        self._rc = self._build_round_cols()
+
+    def _build_round_cols(self) -> dict:
+        """Static expression trees for run_round (see self._rc)."""
+        rc = {
+            "transient": (
+                _transient_fail_col(F.col("url"))
+                & (F.col("retry_count") == 0)
+                & F.col("spans").isNotNull()
+                & ~F.col("_from_cache")
+            ),
+            "outcome": (
+                F.when(~F.col("allowed"), F.lit("robots_denied"))
+                .when(F.col("spans").isNull(), F.lit("error404"))
+                .when(F.col("_transient"), F.lit("retry"))
+                .otherwise(F.lit("success"))
+            ),
+            "is_success": (F.col("_outcome") == "success").cast("int"),
+            "succ": F.col("_outcome") == "success",
+            "e404": F.col("_outcome") == "error404",
+            "page_200": [
+                F.lit(200).alias("fetch_status"),
+                F.col("spans").alias("spans"),
+                F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
+            ],
+            "page_404": [
+                F.lit(404).alias("fetch_status"),
+                F.lit(None).cast(S.PAGES["spans"].dataType).alias("spans"),
+                F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
+            ],
+            "run_id_lit": F.lit(self.cfg.run_id).alias("run_id"),
+            "run_id_plain": F.lit(self.cfg.run_id),
+            "seed_url": F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/")
+            ).alias("seed_url"),
+            "src_alias": F.col("url").alias("source_url"),
+            "linked_as_url": F.col("linked_url").alias("url"),
+            "cand_hash": url_hash_col(F.col("url")),
+            "status": (
+                F.when(F.col("_outcome") == "success", F.lit("fetched"))
+                .when(F.col("_outcome") == "robots_denied", F.lit("robots_denied"))
+                .when(F.col("_outcome") == "error404", F.lit("error"))
+                .when(
+                    F.col("retry_count") + 1 >= self.cfg.max_retries,
+                    F.lit("error"),
+                )
+                .otherwise(F.lit("pending"))
+                .alias("status")
+            ),
+            "retry_count": (
+                F.when(F.col("_outcome") == "retry", F.col("retry_count") + 1)
+                .otherwise(F.col("retry_count"))
+                .alias("retry_count")
+            ),
+            "retry_back": (
+                (F.col("_outcome") == "retry")
+                & (F.col("retry_count") + 1 < self.cfg.max_retries)
+            ),
+            # attempts beyond the schedule reuse the last backoff step (only
+            # reachable when cfg.max_retries > len(BACKOFF))
+            "backoff_delta": F.element_at(
+                F.array(*[F.lit(b) for b in BACKOFF]),
+                F.least(F.col("retry_count") + 1, F.lit(len(BACKOFF))),
+            ),
+            "next_at_keep": F.col("next_attempt_at"),
+            "n_new": F.count(F.lit(1)).alias("n_new"),
+            "from_cache_false": F.lit(False),
+        }
+        rc["aggs"] = self._outcome_aggs()
+        return rc
 
     # ------------------------------------------------------------------ #
     def _write_run_row(self, end: bool) -> None:
@@ -203,20 +278,22 @@ class CrawlEngine:
         timestamps here too, and no golden comparison reads these values."""
         import datetime
 
-        first_seed = self.seeds.orderBy("seed_url_id").first()
+        if not hasattr(self, "_first_seed_url"):
+            first_seed = self.seeds.orderBy("seed_url_id").first()
+            self._first_seed_url = first_seed["url"] if first_seed else None
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         if not end:
             self._run_started = now
-        row = [(
+        row = (
             self.cfg.run_id,
-            first_seed["url"] if first_seed else None,
+            self._first_seed_url,
             getattr(self, "_run_started", now),
             self.cfg.max_pages,
             now if end else None,
-        )]
-        self.catalog.commit(
-            "runs", self.spark.createDataFrame(row, S.RUNS), self.round,
-            mode="delta", n_rows=1,
+        )
+        # one bookkeeping row: pyarrow-direct commit, no Spark job
+        self.catalog.commit_pylist(
+            "runs", S.RUNS, [row], self.round, mode="delta"
         )
 
     def _write_sitemap_index_json(self) -> None:
@@ -273,10 +350,9 @@ class CrawlEngine:
         self.catalog.commit("sitemaps", details, 0, mode="delta")
         m = self.catalog.commit("frontier", frontier, 0, mode="snapshot")
         self.catalog.commit("seen", seen, 0, mode="delta", n_rows=m["n_rows"])
-        empty_pages = self.spark.createDataFrame([], S.PAGES)
-        empty_links = self.spark.createDataFrame([], S.LINKS)
-        self.catalog.commit("pages", empty_pages, 0, mode="delta", n_rows=0)
-        self.catalog.commit("links", empty_links, 0, mode="delta", n_rows=0)
+        # schema-bearing empty deltas: pyarrow-direct, no Spark jobs
+        self.catalog.commit_pylist("pages", S.PAGES, [], 0, mode="delta")
+        self.catalog.commit_pylist("links", S.LINKS, [], 0, mode="delta")
         self.round = 0
         self.visited_count = 0
         self.pending_count = m["n_rows"]
@@ -422,7 +498,7 @@ class CrawlEngine:
         if cache is None:
             return self.fetcher.fetch(
                 gated, approx_rows=self.pending_count
-            ).withColumn("_from_cache", F.lit(False))
+            ).withColumn("_from_cache", self._rc["from_cache_false"])
         hits = (
             gated.join(
                 cache.withColumnRenamed("spans", "_cached_spans"),
@@ -542,7 +618,7 @@ class CrawlEngine:
 
     def _outcome_counts(self, df: DataFrame) -> dict:
         """One aggregation job for every per-round metric."""
-        row = df.agg(*self._outcome_aggs()).first()
+        row = df.agg(*self._rc["aggs"]).first()
         return {k: int(row[k] or 0) for k in self._OUTCOME_KEYS}
 
     def _write_width(self, approx_rows: int | None) -> int:
@@ -603,22 +679,12 @@ class CrawlEngine:
         )
         fetched = self._fetch_with_cache(gated)
 
+        rc = self._rc
         classified_base = (
-            fetched.withColumn(
-                "_transient",
-                _transient_fail_col(F.col("url"))
-                & (F.col("retry_count") == 0)
-                & F.col("spans").isNotNull()
-                & ~F.col("_from_cache"),  # cache hits never touch the downloader
-            )
-            .withColumn(
-                "_outcome",
-                F.when(~F.col("allowed"), F.lit("robots_denied"))
-                .when(F.col("spans").isNull(), F.lit("error404"))
-                .when(F.col("_transient"), F.lit("retry"))
-                .otherwise(F.lit("success")),
-            )
-            .withColumn("_is_success", (F.col("_outcome") == "success").cast("int"))
+            # _transient: cache hits never touch the downloader
+            fetched.withColumn("_transient", rc["transient"])
+            .withColumn("_outcome", rc["outcome"])
+            .withColumn("_is_success", rc["is_success"])
         )
         # Budget risk is decidable on the driver for free: the slice can
         # never process more rows than there are pending rows. When max_pages
@@ -665,32 +731,28 @@ class CrawlEngine:
         else:
             obs_cls = Observation()
             classified = classified_base.observe(
-                obs_cls, *self._outcome_aggs()
+                obs_cls, *rc["aggs"]
             ).persist()
             self._round_persists.append(classified)
             processed = classified
 
-        successes = processed.filter(F.col("_outcome") == "success")
-        errors404 = processed.filter(F.col("_outcome") == "error404")
+        successes = processed.filter(rc["succ"])
+        errors404 = processed.filter(rc["e404"])
 
         # --- sinks: pages with full content (S5/S6, url_html data.py:70-86) --
-        def page_rows(df: DataFrame, status: int, with_content: bool) -> DataFrame:
-            spans_col = (
-                F.col("spans") if with_content
-                else F.lit(None).cast(S.PAGES["spans"].dataType)
-            )
+        round_lit = F.lit(r).alias("round")
+
+        def page_rows(df: DataFrame, with_content: bool) -> DataFrame:
             return df.select(
                 "url", "url_hash", "host",
-                F.lit(status).alias("fetch_status"),
-                spans_col.alias("spans"),
-                F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
-                F.lit(r).alias("round"),
+                *(rc["page_200"] if with_content else rc["page_404"]),
+                round_lit,
                 "priority", "discovered_round",
-                F.lit(self.cfg.run_id).alias("run_id"),
+                rc["run_id_lit"],
             )
 
-        pages_delta = page_rows(successes, 200, True).unionByName(
-            page_rows(errors404, 404, False)
+        pages_delta = page_rows(successes, True).unionByName(
+            page_rows(errors404, False)
         )
 
         # --- parse + links (A1/A2/F1/D1/A4, S7) ------------------------------
@@ -701,15 +763,15 @@ class CrawlEngine:
         ).persist()
         self._round_persists.append(links_pairs)
         links_delta = links_pairs.join(
-            successes.select(F.col("url").alias("source_url"), "host"),
+            successes.select(rc["src_alias"], "host"),
             "source_url",
             "inner",
         ).select(
-            F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("seed_url"),
+            rc["seed_url"],
             "source_url",
             "linked_url",
-            F.lit(r).alias("round"),
-            F.lit(self.cfg.run_id).alias("run_id"),
+            round_lit,
+            rc["run_id_lit"],
         ).dropDuplicates(["seed_url", "source_url", "linked_url"])
 
         # --- dedup against seen (D2/J3) --------------------------------------
@@ -720,9 +782,9 @@ class CrawlEngine:
         # shape's partial aggregation collapses each hot url to <= 1 row per
         # map partition BEFORE its shuffle — skew-immune by construction.
         candidates = (
-            links_pairs.select(F.col("linked_url").alias("url"))
+            links_pairs.select(rc["linked_as_url"])
             .dropDuplicates(["url"])
-            .withColumn("url_hash", url_hash_col(F.col("url")))
+            .withColumn("url_hash", rc["cand_hash"])
         )
         self._maybe_build_blooms(self._seen_full_view())
         self._maybe_build_cuckoo(self._seen_full_view())
@@ -751,7 +813,7 @@ class CrawlEngine:
         obs_new = Observation()
         new_entries = new_frontier_entries(
             fresh.select("url"), round_=r, run_id=self.cfg.run_id
-        ).observe(obs_new, F.count(F.lit(1)).alias("n_new"))
+        ).observe(obs_new, rc["n_new"])
         # (no persist: new_entries has exactly one consumer — the frontier
         # update union below; this round's seen delta is DERIVED from the
         # checkpointed updates by discovered_round == r)
@@ -763,30 +825,13 @@ class CrawlEngine:
             "url",
             "url_hash",
             "host",
-            F.when(F.col("_outcome") == "success", F.lit("fetched"))
-            .when(F.col("_outcome") == "robots_denied", F.lit("robots_denied"))
-            .when(F.col("_outcome") == "error404", F.lit("error"))
-            .when(F.col("retry_count") + 1 >= self.cfg.max_retries, F.lit("error"))
-            .otherwise(F.lit("pending"))
-            .alias("status"),
+            rc["status"],
             "priority",
             "change_freq",
             "last_modified",
-            F.when(F.col("_outcome") == "retry", F.col("retry_count") + 1)
-            .otherwise(F.col("retry_count"))
-            .alias("retry_count"),
-            F.when(
-                (F.col("_outcome") == "retry")
-                & (F.col("retry_count") + 1 < self.cfg.max_retries),
-                F.lit(t)
-                + F.element_at(
-                    F.array(*[F.lit(b) for b in BACKOFF]),
-                    # attempts beyond the schedule reuse the last backoff
-                    # step (only reachable when cfg.max_retries > len(BACKOFF))
-                    F.least(F.col("retry_count") + 1, F.lit(len(BACKOFF))),
-                ),
-            )
-            .otherwise(F.col("next_attempt_at"))
+            rc["retry_count"],
+            F.when(rc["retry_back"], F.lit(t) + rc["backoff_delta"])
+            .otherwise(rc["next_at_keep"])
             .alias("next_attempt_at"),
             "discovered_round",
             "run_id",
@@ -832,7 +877,7 @@ class CrawlEngine:
             updates_ck.filter(F.col("discovered_round") == r)
             .select("url_hash", "url")
             .withColumn("first_seen_round", F.lit(r))
-            .withColumn("run_id", F.lit(self.cfg.run_id))
+            .withColumn("run_id", rc["run_id_plain"])
         )
         if self.cfg.use_bloom and n_new:
             self._bloom_add_delta(seen_delta_ck)

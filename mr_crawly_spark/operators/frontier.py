@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mr_crawly_spark.datagen import DEFAULT_PRIORITY
+from mr_crawly_spark.functions.colcache import session_cached
 from mr_crawly_spark.functions.urls import url_hash_col, url_host_col
 from mr_crawly_spark.operators.politeness import DEFAULT_K_HOST
 
@@ -55,23 +56,47 @@ def select_slice(
     """
     from mr_crawly_spark.operators.politeness import BROADCAST_ROW_LIMIT
 
-    def rank_filter(rn_col):
-        cond = rn_col <= F.col("k_host")
-        if k_cap is not None:
-            # literal conjunct FIRST: this is the shape the WindowGroupLimit
-            # optimizer rule matches (rank <= foldable)
-            cond = (rn_col <= F.lit(int(k_cap))) & cond
-        return cond
+    def build_static() -> dict:
+        """Round-invariant plan fragments (colcache): the slice runs every
+        crawl round; only the t_round literal varies."""
+        def rank_filter(rn_col):
+            cond = rn_col <= F.col("k_host")
+            if k_cap is not None:
+                # literal conjunct FIRST: this is the shape the
+                # WindowGroupLimit optimizer rule matches (rank <= foldable)
+                cond = (rn_col <= F.lit(int(k_cap))) & cond
+            return cond
 
-    eligible = frontier.filter(
-        (F.col("status") == "pending") & (F.col("next_attempt_at") <= F.lit(t_round))
+        order = [
+            F.col("priority").desc(),
+            F.col("discovered_round").asc(),
+            F.col("url").asc(),
+        ]
+        w = Window.partitionBy("host").orderBy(*order)
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.col("url_hash"), F.lit(salt))
+        ).orderBy(*order)
+        return {
+            "pending": F.col("status") == "pending",
+            "next_at": F.col("next_attempt_at"),
+            "k_host": F.coalesce(F.col("k_host"), F.lit(int(default_k))),
+            "rn": F.row_number().over(w),
+            "rn1": F.row_number().over(w1),
+            "keep": rank_filter(F.col("_rn")),
+            "keep1": rank_filter(F.col("_rn1")),
+            "salt_key": F.pmod(F.col("url_hash"), F.lit(salt)),
+        }
+
+    c = session_cached(
+        frontier.sparkSession,
+        f"frontier.slice:{k_cap}:{default_k}:{salt}",
+        build_static,
     )
+    eligible = frontier.filter(c["pending"] & (c["next_at"] <= F.lit(t_round)))
     b = budgets
     if budget_rows is not None and budget_rows <= BROADCAST_ROW_LIMIT:
         b = F.broadcast(b)
-    eligible = eligible.join(b, "host", "left").withColumn(
-        "k_host", F.coalesce(F.col("k_host"), F.lit(int(default_k)))
-    )
+    eligible = eligible.join(b, "host", "left").withColumn("k_host", c["k_host"])
     pri = F.col("priority")
     if ranks is not None:
         # opt-in link-authority ordering (engine.refresh_pagerank): blend
@@ -91,33 +116,42 @@ def select_slice(
             .drop("rank")
         )
         pri = F.col("_opri")
-    order = [
-        pri.desc(), F.col("discovered_round").asc(), F.col("url").asc()
-    ]
+    if ranks is not None:
+        # rank-blended ordering: build fresh (uncached) window fragments —
+        # the opt-in path is rare and its order column differs
+        order = [pri.desc(), F.col("discovered_round").asc(), F.col("url").asc()]
+        rn1 = F.row_number().over(
+            Window.partitionBy("host", c["salt_key"]).orderBy(*order)
+        )
+        rn = F.row_number().over(Window.partitionBy("host").orderBy(*order))
+
+        def keep(col):
+            cond = col <= F.col("k_host")
+            if k_cap is not None:
+                cond = (col <= F.lit(int(k_cap))) & cond
+            return cond
+
+        keep1, keepn = keep(F.col("_rn1")), keep(F.col("_rn"))
+    else:
+        rn1, rn, keep1, keepn = c["rn1"], c["rn"], c["keep1"], c["keep"]
     if salt_partitions:
         # two-phase top-k: the hot host's window would otherwise be a single
         # serial task holding its whole frontier share. Phase 1 takes top-k
         # within (host, salt) — parallel across salts; the global per-host
         # top-k is a subset of the union of per-salt top-k's, so phase 2
         # re-ranks only salt * k_host rows per host. Exact same slice.
-        w1 = Window.partitionBy(
-            "host", F.pmod(F.col("url_hash"), F.lit(salt))
-        ).orderBy(*order)
         eligible = (
-            eligible.withColumn("_rn1", F.row_number().over(w1))
-            .filter(rank_filter(F.col("_rn1")))
-            .drop("_rn1")
+            eligible.withColumn("_rn1", rn1).filter(keep1).drop("_rn1")
         )
-    w = Window.partitionBy("host").orderBy(*order)
     sliced = (
-        eligible.withColumn("_rn", F.row_number().over(w))
-        .filter(rank_filter(F.col("_rn")))
+        eligible.withColumn("_rn", rn)
+        .filter(keepn)
         .drop("_rn", "k_host", "_opri")
     )
     if salt_partitions:
         # spread the hot host before the fetch join / parse explode
         sliced = sliced.repartition(
-            salt_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt))
+            salt_partitions, F.col("host"), c["salt_key"]
         )
     return sliced
 
@@ -130,27 +164,36 @@ def new_frontier_entries(
     ``change_freq``, ``last_modified`` — the sitemap recrawl metadata,
     reference site_mapper.py:94-98), already unseen."""
 
-    def opt(name: str):
-        return (
-            F.col(name) if name in fresh_urls.columns
-            else F.lit(None).cast("string")
-        )
+    cols = frozenset(fresh_urls.columns) & {
+        "priority", "change_freq", "last_modified"
+    }
 
-    pri = (
-        F.col("priority")
-        if "priority" in fresh_urls.columns
-        else F.lit(DEFAULT_PRIORITY)
+    def build_static() -> list:
+        def opt(name: str):
+            return F.col(name) if name in cols else F.lit(None).cast("string")
+
+        pri = F.col("priority") if "priority" in cols else F.lit(DEFAULT_PRIORITY)
+        return [
+            F.col("url"),
+            url_hash_col(F.col("url")).alias("url_hash"),
+            url_host_col(F.col("url")).alias("host"),
+            F.lit("pending").alias("status"),
+            pri.cast("double").alias("priority"),
+            opt("change_freq").alias("change_freq"),
+            opt("last_modified").alias("last_modified"),
+            F.lit(0).alias("retry_count"),
+            F.lit(0.0).alias("next_attempt_at"),
+        ]
+
+    static = session_cached(
+        fresh_urls.sparkSession,
+        f"frontier.new_entries:{sorted(cols)}",
+        build_static,
     )
+    # only the round/run_id literals vary per call; appending them last
+    # preserves the original schema column order
     return fresh_urls.select(
-        F.col("url"),
-        url_hash_col(F.col("url")).alias("url_hash"),
-        url_host_col(F.col("url")).alias("host"),
-        F.lit("pending").alias("status"),
-        pri.cast("double").alias("priority"),
-        opt("change_freq").alias("change_freq"),
-        opt("last_modified").alias("last_modified"),
-        F.lit(0).alias("retry_count"),
-        F.lit(0.0).alias("next_attempt_at"),
+        *static,
         F.lit(round_).alias("discovered_round"),
         F.lit(run_id).alias("run_id"),
     )

@@ -18,7 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_crawly_spark.functions.colcache import session_cached
 from mr_crawly_spark.functions.urls import canonicalize_udf, url_host_col
+
+
+def _outlink_cols() -> dict:
+    """Static expression trees for extract_outlinks — built once per
+    session (colcache): the extraction runs every crawl round, and its
+    ~40 Column constructions were pure py4j latency in the round floor."""
+    return {
+        "explode": [
+            F.col("url").alias("source_url"),
+            F.col("host"),
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+            ).alias("span"),
+        ],
+        "href": [F.col("source_url"), F.col("host"), F.col("span.text").alias("href")],
+        "href_ok": F.col("href").isNotNull() & (F.length("href") > 0),
+        "canon": canonicalize_udf(F.col("source_url"), F.col("href")),
+        "canon_ok": F.col("linked_url").isNotNull(),
+        "same_domain": url_host_col(F.col("linked_url")) == F.col("host"),
+        "self_link": [F.col("source_url"), F.col("source_url").alias("linked_url")],
+    }
 
 
 def extract_outlinks(fetched: DataFrame) -> DataFrame:
@@ -26,31 +48,18 @@ def extract_outlinks(fetched: DataFrame) -> DataFrame:
 
     ``linked_url`` is canonical; includes the A4 self-link rows.
     """
+    c = session_cached(fetched.sparkSession, "parse.outlinks", _outlink_cols)
     hrefs = (
-        fetched.select(
-            F.col("url").alias("source_url"),
-            "host",
-            F.explode(
-                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
-            ).alias("span"),
-        )
-        .select("source_url", "host", F.col("span.text").alias("href"))
-        .filter(F.col("href").isNotNull() & (F.length("href") > 0))
+        fetched.select(*c["explode"]).select(*c["href"]).filter(c["href_ok"])
     )
-    canon = hrefs.withColumn(
-        "linked_url", canonicalize_udf(F.col("source_url"), F.col("href"))
-    ).filter(F.col("linked_url").isNotNull())
-    same_domain = canon.filter(
-        url_host_col(F.col("linked_url")) == F.col("host")
-    ).select("source_url", "linked_url")
+    canon = hrefs.withColumn("linked_url", c["canon"]).filter(c["canon_ok"])
+    same_domain = canon.filter(c["same_domain"]).select("source_url", "linked_url")
     # A4: add (source, source) for every source that produced >= 1 link.
     # Emitting one self-link candidate PER pair (not per source) lets the
     # final dedup absorb them in the SAME shuffle — one exchange for dedup
     # + self-links instead of the naive dedup -> distinct -> union -> dedup
     # chain (3 extra exchanges per round in the crawl hot loop).
-    with_self = same_domain.unionByName(
-        same_domain.select("source_url", F.col("source_url").alias("linked_url"))
-    )
+    with_self = same_domain.unionByName(same_domain.select(*c["self_link"]))
     return with_self.dropDuplicates(["source_url", "linked_url"])
 
 

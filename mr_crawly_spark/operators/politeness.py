@@ -52,26 +52,36 @@ def robots_gate(
     broadcast is FORCED only under BROADCAST_ROW_LIMIT; unknown or huge ->
     plain join, AQE converts to broadcast at runtime iff actually small.
     """
-    cand = candidates.withColumn("_path", url_path_col(F.col("url")))
+    from mr_crawly_spark.functions.colcache import session_cached
+
+    c = session_cached(
+        candidates.sparkSession,
+        "politeness.gate",
+        lambda: {
+            "path": url_path_col(F.col("url")),
+            "prefix": F.col("_path").startswith(F.col("path_prefix")),
+            "first_rule": F.min(F.struct("rule_order", "allow")).alias("_first_rule"),
+            "rule_allow": F.col("_first_rule.allow").alias("_rule_allow"),
+            "allowed": F.when(
+                F.col("url").contains("sitemap"), F.lit(True)
+            ).otherwise(F.coalesce(F.col("_rule_allow"), F.lit(True))),
+        },
+    )
+    cand = candidates.withColumn("_path", c["path"])
     rules = robots.select("host", "rule_order", "allow", "path_prefix")
     if approx_rule_rows is not None and approx_rule_rows <= BROADCAST_ROW_LIMIT:
         rules = F.broadcast(rules)
     matched = (
         cand.select("url", "host", "_path")
         .join(rules, "host", "inner")
-        .filter(F.col("_path").startswith(F.col("path_prefix")))
+        .filter(c["prefix"])
         .groupBy("url")
-        .agg(F.min(F.struct("rule_order", "allow")).alias("_first_rule"))
-        .select("url", F.col("_first_rule.allow").alias("_rule_allow"))
+        .agg(c["first_rule"])
+        .select("url", c["rule_allow"])
     )
     return (
         cand.join(matched, "url", "left")
-        .withColumn(
-            "allowed",
-            F.when(F.col("url").contains("sitemap"), F.lit(True)).otherwise(
-                F.coalesce(F.col("_rule_allow"), F.lit(True))
-            ),
-        )
+        .withColumn("allowed", c["allowed"])
         .drop("_path", "_rule_allow")
     )
 

@@ -74,21 +74,22 @@ def expand_sitemaps(
     for _ in range(MAX_DEPTH):
         # lineage cut per level: the level's rows are tiny (sitemap records
         # for the seed hosts), but the UNCUT lineage would be re-run by
-        # every downstream action (isEmpty here, plus each bootstrap
-        # commit) — each pass re-paying the canonicalize UDF + joins. LAZY
-        # checkpoint: the isEmpty probe materializes+caches it in the same
-        # job, instead of one eager checkpoint job + one probe job per
-        # level (measured 3.6x on the bootstrap path).
+        # every downstream consumer (each bootstrap commit) — each pass
+        # re-paying the canonicalize UDF + joins. LAZY checkpoints fold all
+        # materialization into the FIRST downstream action. The unroll is
+        # BLIND to MAX_DEPTH (no per-level isEmpty probe): sitemap trees
+        # bottom out in 2-3 levels, and a level past the real depth is an
+        # explode+join over an EMPTY cached frame — zero rows moved — while
+        # each probe was a full Spark job (~0.5 s of pure scheduling at
+        # bootstrap; the round-3 probe variant paid 3 of them).
         current = current.localCheckpoint(eager=False)
         level_leaves = current.filter(~F.col("is_index"))
         leaves = level_leaves if leaves is None else leaves.unionByName(level_leaves)
-        indexes = current.filter(F.col("is_index"))
-        if indexes.isEmpty():
-            break
-        children = indexes.select(
-            "seed_url", F.explode("locs").alias("sm_url")
-        ).join(sm, "sm_url", "inner")
-        current = children
+        current = (
+            current.filter(F.col("is_index"))
+            .select("seed_url", F.explode("locs").alias("sm_url"))
+            .join(sm, "sm_url", "inner")
+        )
 
     details = leaves.filter(F.col("first_loc").isNotNull()).select(
         F.col("seed_url").alias("source_url"),

@@ -111,6 +111,54 @@ class SnapshotCatalog:
             json.dump(manifest, f, indent=1)
         return manifest
 
+    def commit_pylist(
+        self,
+        table: str,
+        spark_schema,
+        rows: list[tuple],
+        round_: int,
+        mode: str = "delta",
+        metrics: dict | None = None,
+    ) -> dict:
+        """Commit a driver-resident micro-batch (empty frames, bookkeeping
+        rows) WITHOUT a Spark job: pyarrow writes the parquet part file
+        directly (a createDataFrame + df.write round-trip costs ~0.5 s of
+        job scheduling for 0-1 rows; bootstrap pays it five times). The
+        manifest is identical to commit()'s, and Spark reads the file like
+        any other delta. Only for KB-sized driver data — real table deltas
+        go through commit()."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        assert mode in ("snapshot", "delta")
+        version = self._next_version(table)
+        kind = "snap" if mode == "snapshot" else "delta"
+        data_dir = os.path.join(self.warehouse, table, f"{kind}-{version:05d}")
+        os.makedirs(data_dir, exist_ok=True)
+        arrow_schema = to_arrow_schema(spark_schema)
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+            for i in range(len(arrow_schema))
+        ]
+        part = os.path.join(data_dir, "part-00000.parquet")
+        pq.write_table(pa.Table.from_arrays(cols, schema=arrow_schema), part)
+        manifest = {
+            "table": table,
+            "snapshot_id": version,
+            "parent_id": version - 1 if version > 1 else None,
+            "kind": mode,
+            "round": round_,
+            "data_dir": data_dir,
+            "n_rows": len(rows),
+            "n_files": 1,
+            "partitions": [{"file": "part-00000.parquet", "rows": len(rows)}],
+            "metrics": metrics or {},
+        }
+        with open(self._manifest_path(table, version), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
+
     def _manifests(self, table: str, max_round: int | None = None) -> list[dict]:
         """All manifests for a table up to max_round, in version order."""
         tdir = os.path.join(self.warehouse, table)
