@@ -2,12 +2,15 @@
 
     spark-submit --py-files <zip> main.py --hosts 8 --base-pages 40 \
         --max-pages 100 --warehouse /tmp/crawl_wh [--resume]
+    spark-submit --py-files <zip> main.py https://site1.test/ \
+        --warehouse /tmp/crawl_wh --max-pages 10 --delay 30
 
-Mirrors the reference CLI (main.py:28-46: url, --max-pages, --num_workers,
---retries, --debug) with the queue/worker knobs replaced by Spark-native
-ones (parallelism comes from the cluster). ``--retries`` maps to
-CrawlConfig.max_retries; the sequential oracle takes the same value so the
-golden suite stays in lockstep at any setting.
+Mirrors the reference CLI (main.py:28-46: positional url, --max-pages,
+--num_workers, --retries, --debug; README.md:45 --delay) with the
+queue/worker knobs replaced by Spark-native ones (parallelism comes from
+the cluster). ``--retries`` maps to CrawlConfig.max_retries and
+``--delay`` to CrawlConfig.default_delay; the sequential oracle takes the
+same values so the golden suite stays in lockstep at any setting.
 """
 
 from __future__ import annotations

@@ -47,13 +47,18 @@ def logging_level_from_toml(path: str) -> str:
     return doc.get("logging", {}).get("level", "INFO")
 
 
-def setup_logging(level: str = "INFO") -> None:
-    """Console handler for the engine's loggers (round metrics, flushes,
-    warnings). Replaces the reference's rich console handler with a plain
-    stderr formatter — no third-party deps."""
-    logger = logging.getLogger("mr_crawly_spark")
-    logger.setLevel(level.upper())
-    if not logger.handlers:
+def _make_console_handler() -> logging.Handler:
+    """The reference ships a Rich-based console handler
+    (config/handlers.py:1-52); use rich.logging.RichHandler when the
+    library is importable (markup timestamps, level colors, tracebacks),
+    else fall back to a plain stderr formatter. The sandbox has no rich —
+    the fallback is the tested path; the rich branch is exercised wherever
+    the dependency exists (it is optional, never required)."""
+    try:
+        from rich.logging import RichHandler  # optional dependency
+
+        return RichHandler(rich_tracebacks=True, show_path=False)
+    except ImportError:
         h = logging.StreamHandler(sys.stderr)
         h.setFormatter(
             logging.Formatter(
@@ -61,5 +66,14 @@ def setup_logging(level: str = "INFO") -> None:
                 datefmt="%H:%M:%S",
             )
         )
-        logger.addHandler(h)
+        return h
+
+
+def setup_logging(level: str = "INFO") -> None:
+    """Console handler for the engine's loggers (round metrics, flushes,
+    warnings) — Rich when available, stdlib otherwise."""
+    logger = logging.getLogger("mr_crawly_spark")
+    logger.setLevel(level.upper())
+    if not logger.handlers:
+        logger.addHandler(_make_console_handler())
     logger.propagate = False

@@ -453,3 +453,27 @@ def test_pagerank_priority_reorders_slice(spark, tiny_corpus):
     # engine wiring: the next round actually uses the ranked ordering
     m = eng.run_round()
     assert m["processed"] > 0
+
+
+def test_console_handler_fallback(monkeypatch):
+    """Rich parity (reference config/handlers.py): RichHandler when the
+    optional dependency exists, stdlib StreamHandler otherwise (the
+    sandbox path). Either way setup_logging is idempotent."""
+    import logging
+
+    from mr_crawly_spark.config import _make_console_handler, setup_logging
+
+    h = _make_console_handler()
+    assert isinstance(h, logging.Handler)
+    try:
+        from rich.logging import RichHandler
+
+        assert isinstance(h, RichHandler)
+    except ImportError:
+        assert isinstance(h, logging.StreamHandler)
+    logger = logging.getLogger("mr_crawly_spark")
+    before = list(logger.handlers)
+    setup_logging("INFO")
+    setup_logging("DEBUG")  # second call must not stack handlers
+    after = list(logger.handlers)
+    assert len(after) <= max(len(before), 1)
