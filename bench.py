@@ -67,6 +67,14 @@ def main() -> int:
             ).alias("url")
         )
     )
+    # engine-path warmup (also untimed): the first engine run in a JVM pays
+    # JIT, codegen-cache and committer class-loading that no analytics query
+    # touches (~10 s measured) — run a tiny crawl here, OUTSIDE the t_all
+    # window, so both crawl_e2e and total_sec are steady-state numbers.
+    crawl_e2e_job(
+        spark, tempfile.mkdtemp(prefix="bench_warm_"),
+        n_hosts=4, base_pages=4, hot_factor=2,
+    )
 
     timings: dict[str, float] = {}
     t_all = time.monotonic()
@@ -74,15 +82,6 @@ def main() -> int:
         t0 = time.monotonic()
         force(queries[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
-
-    # engine-path warmup (untimed): the first engine run in a JVM pays JIT,
-    # codegen-cache and committer class-loading that no analytics query
-    # touches (~10 s measured) — run a tiny crawl first so the timed number
-    # is the steady-state round cost, comparable across rounds.
-    crawl_e2e_job(
-        spark, tempfile.mkdtemp(prefix="bench_warm_"),
-        n_hosts=4, base_pages=4, hot_factor=2,
-    )
 
     t0 = time.monotonic()
     crawl = crawl_e2e_job(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
