@@ -547,6 +547,38 @@ def q_jaccard_lsh(spark, sf_dir):
     return D.jaccard_on_candidates(both, pairs, threshold=0.05, shingle_n=3)
 
 
+def q_neardup_edit(spark, sf_dir):
+    """Levenshtein-verified near-dup: LSH candidates checked by EXACT edit
+    distance (pure-JVM F.levenshtein; DuckDB's levenshtein is the oracle
+    twin). Planted copies carry a 3-char suffix edit, so every planted
+    pair must surface with edit_dist 3 — byte-level verification that
+    shingle Jaccard can't express. The DP cost is bounded to the LSH
+    candidate list; never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x!"))
+    )
+    both = docs.unionByName(planted)
+    pairs = D.minhash_lsh_pairs(both, n_hashes=8, bands=4, shingle_n=3)
+    return D.edit_distance_on_candidates(both, pairs)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (downsample boilerplate-heavy
+    strata, keep rare high-quality ones): same md5-threshold draw as
+    sample_det, compared against the row's stratum fraction — RNG-free,
+    partition-invariant, DuckDB-reproducible."""
+    from mr_crawly_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum", (F.col("doc_id") % 3).cast("string")
+    )
+    return stratified_sample(
+        docs, {"0": 0.2, "1": 0.05}, "stratum", "doc_id",
+        default_fraction=0.01, salt="strat",
+    ).select("doc_id", "stratum")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dedup clusters: connected components over the LSH
     candidate-pair graph (A~B, B~C collapse to one cluster even when A~C
@@ -709,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_documents,
         "sample_det": q_sample_deterministic,
+        "sample_strat": q_sample_stratified,
         "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -729,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_lsh": q_jaccard_lsh,
+        "neardup_edit": q_neardup_edit,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_neardup": q_simhash_neardup,
@@ -791,6 +825,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
               UNION ALL
               SELECT doc_id + 1000000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+    """
+    # planted copies with a 3-char suffix edit (the neardup_edit corpus)
+    edit_docs2 = """
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text || ' x!' AS text
               FROM documents WHERE doc_id % 10 = 0
     """
     band_keys = "\n              UNION ALL ".join(
@@ -1012,6 +1053,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT
                   % 1000000 < 100000
         """,
+        "sample_strat": """
+            SELECT doc_id, (doc_id % 3)::VARCHAR AS stratum FROM documents
+            WHERE ('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 <
+                  CASE doc_id % 3 WHEN 0 THEN 200000 WHEN 1 THEN 50000
+                       ELSE 10000 END
+        """,
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,
                    len(regexp_extract_all(text,
@@ -1214,6 +1262,33 @@ def oracle_sql() -> dict[str, str]:
               JOIN shl b ON p.id_b = b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM rated WHERE jaccard >= 0.05
+        """,
+        "neardup_edit": f"""
+            WITH docs2 AS ({edit_docs2}),
+            sh AS (
+              SELECT doc_id, unnest({shingle_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT AS a,
+                     ('0x' || substr(md5(sh), 17, 15))::BIGINT | 1 AS b
+              FROM sh
+            ),
+            sig AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
+            banded AS (
+              {band_keys}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   levenshtein(a.text, b.text)::BIGINT AS edit_dist
+            FROM pairs p
+            JOIN docs2 a ON p.id_a = a.doc_id
+            JOIN docs2 b ON p.id_b = b.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE docs2 AS ({lsh_docs2}),

@@ -510,3 +510,29 @@ def test_star_contraction_matches_label_propagation(spark):
         for r in D.connected_components_star(ids, pairs).collect()
     }
     assert star == plain
+
+
+def test_edit_distance_on_candidates_planted(spark):
+    """Levenshtein verification on LSH candidates: planted suffix-edited
+    copies must surface with exactly their edit distance; identical copies
+    with 0; max_edit filters."""
+    rows = [(i, f"alpha beta gamma delta epsilon {i} zeta eta theta") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edited = docs.withColumn("doc_id", F.col("doc_id") + 1000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" xy"))
+    )
+    both = docs.unionByName(edited)
+    pairs = D.minhash_lsh_pairs(both, n_hashes=8, bands=4, shingle_n=3)
+    rated = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in D.edit_distance_on_candidates(both, pairs).collect()
+    }
+    planted = {(i, i + 1000) for i in range(40)}
+    found = planted & set(rated)
+    assert found  # banding recovered planted near-identical pairs
+    assert all(rated[p] == 3 for p in found)  # " xy" = 3 edits
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.edit_distance_on_candidates(both, pairs, max_edit=2).collect()
+    }
+    assert not (capped & planted)  # the filter is live
