@@ -563,6 +563,18 @@ def q_neardup_edit(spark, sf_dir):
     return D.edit_distance_on_candidates(both, pairs)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 relevance against a fixed query-term set (corpus curation by
+    topic): one corpus-stats agg (single driver row) + one scan-only
+    projection, pure JVM. DuckDB recomputes N/avgdl/df independently and
+    the identical arithmetic (same ln libm, same double op order) matches
+    at round-4."""
+    from mr_crawly_spark.operators.curation import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "vector", "scan", "dup"])
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling (downsample boilerplate-heavy
     strata, keep rare high-quality ones): same md5-threshold draw as
@@ -742,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_documents,
         "sample_det": q_sample_deterministic,
         "sample_strat": q_sample_stratified,
+        "bm25": q_bm25,
         "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1059,6 +1072,38 @@ def oracle_sql() -> dict[str, str]:
                   % 1000000 <
                   CASE doc_id % 3 WHEN 0 THEN 200000 WHEN 1 THEN 50000
                        ELSE 10000 END
+        """,
+        "bm25": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, len(w) AS dl,
+                     {", ".join(
+                         f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+                         for i, t in enumerate(["spark", "vector", "scan", "dup"])
+                     )}
+              FROM t
+            ),
+            c AS (
+              SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                     {", ".join(
+                         f"sum((tf{i} > 0)::INT)::DOUBLE AS df{i}"
+                         for i in range(4)
+                     )}
+              FROM d
+            )
+            SELECT doc_id,
+                   round(0.0
+                     {" ".join(
+                         f"+ ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                         f" * (tf{i} * (1.2 + 1.0))"
+                         f" / (tf{i} + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
+                         for i in range(4)
+                     )}, 4) AS bm25
+            FROM d, c
         """,
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,

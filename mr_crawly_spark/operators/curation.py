@@ -88,6 +88,63 @@ def deterministic_sample(
     return df.filter(sample_hash_col(F.col(key_col), salt) < threshold)
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the standard corpus-curation ranking primitive (select training docs
+    matching a topic query; score quality prompts against anchors).
+
+    Spark-first shape, pure JVM end to end:
+    - one whitespace tokenization per doc (lowercased), per-term tf via
+      ``size(filter(tokens, = term))`` — whole-stage codegen, no UDF;
+    - corpus statistics (N, avgdl, per-term df) are ONE map-side-combined
+      aggregation collapsing to a single driver row (KBs at any corpus
+      size — this is the only driver touch, same class as IVF centroids);
+    - idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene BM25+ form)
+      folds into literal coefficients, so the final score is one scan-only
+      projection: score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b +
+      b·dl/avgdl)). At 10^10 docs: one agg pass + one projection pass,
+      no joins, no shuffles beyond the agg's single-row combine.
+
+    Returns (id_col, bm25 double rounded to 4) for every document."""
+    import math
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_dl", F.size("_t")
+    )
+    def _eq(term: str):
+        # NB: a `lambda x, t=t:` default-arg binding would make the lambda
+        # binary and pyspark would treat it as an (element, index) HOF
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(query_terms):
+        d = d.withColumn(f"_tf{i}", F.size(F.filter(F.col("_t"), _eq(t))))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_dl").alias("avgdl"),
+    ] + [
+        F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"df{i}")
+        for i in range(len(query_terms))
+    ]
+    stats = d.agg(*aggs).first()  # one row — KB driver metadata
+    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = math.log((n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)
+        tf = F.col(f"_tf{i}")
+        score = score + F.lit(idf) * (
+            tf * F.lit(k1 + 1.0)
+        ) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)))
+    return d.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

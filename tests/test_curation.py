@@ -81,3 +81,37 @@ def test_stratified_sample(spark):
     dropped = stratified_sample(df, {"quality": 1.0}, "kind", "doc_id")
     kinds = {r["kind"] for r in dropped.select("kind").distinct().collect()}
     assert kinds == {"quality"}
+
+
+def test_bm25_scores_reference(spark):
+    """BM25 against a tiny corpus vs a direct python computation."""
+    import math
+
+    rows = [
+        (1, "spark scan the vector"),
+        (2, "dup dup scan scan scan"),
+        (3, "the quick fox jumps"),
+        (4, "spark spark spark"),
+    ]
+    from mr_crawly_spark.operators.curation import bm25_scores
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark", "scan"]).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        s = 0.0
+        for term in ("spark", "scan"):
+            df = sum(1 for w in toks.values() if term in w)
+            tf = toks[doc].count(term)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len(toks[doc]) / avgdl))
+        return round(s, 4)
+
+    assert got == {i: score(i) for i, _ in rows}
+    assert got[3] == 0.0          # no query term -> zero relevance
+    assert min(got[1], got[2], got[4]) > 0.0  # matches all score positive
