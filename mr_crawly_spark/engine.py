@@ -563,16 +563,37 @@ class CrawlEngine:
             seen, self.cfg.bloom_buckets, m, k
         )
 
+    def _cuckoo_sidecar_path(self) -> str:
+        import os
+
+        return os.path.join(self.cfg.warehouse, "seen_cuckoo")
+
     def _maybe_build_cuckoo(self, seen: DataFrame) -> None:
         """Build the bucketed cuckoo filter once (distributed, one task per
         bucket), then keep it incrementally updated per round via
-        cuckoo_add. In-memory only: resume rebuilds from the seen table
-        (the build is one pass at bloom-sidecar cost)."""
+        cuckoo_add_delta. On resume the sidecar (written at flush, the
+        Bloom twin) is reloaded IF its persisted geometry matches the
+        current config — probing tables with a different n_rows yields
+        silent false negatives, so a mismatch rebuilds from the seen
+        table instead (one pass at bloom-build cost)."""
         if not self.cfg.use_cuckoo or self._cuckoo is not None:
             return
+        import os
+
         self._cuckoo_rows = seen_ops.cuckoo_params(
             max(1, self.cfg.bloom_expected_n // self.cfg.bloom_buckets)
         )
+        if os.path.isdir(self._cuckoo_sidecar_path()):
+            geom = seen_ops.read_cuckoo_geometry(self._cuckoo_sidecar_path())
+            if geom == (self._cuckoo_rows, self.cfg.bloom_buckets):
+                self._cuckoo = seen_ops.read_cuckoo_sidecar(
+                    self._cuckoo_sidecar_path()
+                )
+                return
+            log.warning(
+                "cuckoo sidecar geometry %s != configured %s — rebuilding",
+                geom, (self._cuckoo_rows, self.cfg.bloom_buckets),
+            )
         self._cuckoo = seen_ops.build_bucket_cuckoos(
             seen, self.cfg.bloom_buckets, self._cuckoo_rows
         )
@@ -1008,6 +1029,12 @@ class CrawlEngine:
                 self.spark, self._blooms, self._bloom_sidecar_path(),
                 m_bits=self._bloom_mk[0], k=self._bloom_mk[1],
                 n_buckets=self.cfg.bloom_buckets,
+            )
+        if self.cfg.use_cuckoo and self._cuckoo is not None:
+            # the cuckoo twin: resume reloads instead of rebuilding
+            seen_ops.write_cuckoo_sidecar(
+                self._cuckoo, self._cuckoo_sidecar_path(),
+                n_rows=self._cuckoo_rows, n_buckets=self.cfg.bloom_buckets,
             )
         # reload derived state from the flushed parquet (bounds partition
         # counts), then release the round frames the lazy deltas referenced

@@ -568,6 +568,72 @@ def _cuckoo_merge_tables(
     return tbl.tobytes()
 
 
+def _cuckoo_geometry_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_cuckoo_geometry.json")
+
+
+def write_cuckoo_sidecar(
+    tables: dict[int, bytes], path: str, n_rows: int, n_buckets: int
+) -> None:
+    """Persist the driver-resident cuckoo filter next to the seen snapshot
+    (the Bloom-sidecar twin): pyarrow-direct parquet (the dict is
+    size-gated driver data — no Spark job) plus a geometry file. Resume
+    MUST validate the geometry before probing: tables probed with a
+    different n_rows give silent false negatives."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(old)
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(list(tables.keys()), pa.int32()),
+                "bits": pa.array(list(tables.values()), pa.binary()),
+            }
+        ),
+        os.path.join(path, "part-00000.parquet"),
+    )
+    with open(_cuckoo_geometry_path(path), "w") as f:
+        json.dump({"n_rows": n_rows, "n_buckets": n_buckets}, f)
+
+
+def read_cuckoo_geometry(path: str) -> tuple[int, int] | None:
+    """(n_rows, n_buckets) persisted with the sidecar, or None."""
+    import json
+    import os
+
+    p = _cuckoo_geometry_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        g = json.load(f)
+    return (g["n_rows"], g["n_buckets"])
+
+
+def read_cuckoo_sidecar(path: str) -> dict[int, bytes]:
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[int, bytes] = {}
+    for fn in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        tbl = pq.read_table(fn)
+        for b, bits in zip(
+            tbl.column("bucket").to_pylist(), tbl.column("bits").to_pylist()
+        ):
+            out[int(b)] = bytes(bits)
+    return out
+
+
 def cuckoo_delete(
     tables: dict[int, bytes], url_hash: int, n_buckets: int, n_rows: int
 ) -> bool:

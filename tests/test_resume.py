@@ -133,3 +133,34 @@ def test_cuckoo_outputs_equal_exact(spark, tiny_corpus):
     assert cuckooed._cuckoo is not None  # built and maintained
     assert any(v != b"" for v in cuckooed._cuckoo.values())
     assert _final_state(cuckooed) == _final_state(exact)
+
+
+def test_cuckoo_sidecar_resume(spark, tiny_corpus):
+    """The cuckoo prefilter persists to a sidecar at flush (the Bloom twin)
+    and resume reloads it byte-identical instead of rebuilding — but ONLY
+    when the persisted geometry matches; a mismatched config rebuilds from
+    the seen table (mismatched n_rows would probe false negatives)."""
+    import os
+
+    wh = tempfile.mkdtemp(prefix="crawl_cksc_")
+    cfg = dict(use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096)
+    eng = _engine(spark, tiny_corpus, wh, **cfg)
+    eng.run()
+    assert os.path.isdir(os.path.join(wh, "seen_cuckoo"))
+    saved = dict(eng._cuckoo)
+
+    resumed = _engine(spark, tiny_corpus, wh, **cfg)
+    assert resumed.resume()
+    resumed._maybe_build_cuckoo(resumed._seen_full_view())
+    assert resumed._cuckoo == saved  # reloaded, not rebuilt
+
+    # different expected_n -> different n_rows -> geometry mismatch:
+    # must NOT load the stale sidecar (silent false negatives); rebuilds
+    other = _engine(
+        spark, tiny_corpus, wh,
+        use_cuckoo=True, bloom_buckets=4, bloom_expected_n=65536,
+    )
+    assert other.resume()
+    other._maybe_build_cuckoo(other._seen_full_view())
+    assert other._cuckoo is not None
+    assert other._cuckoo_rows != eng._cuckoo_rows
