@@ -104,18 +104,60 @@ def q_links_dedup(spark, sf_dir):
 
 
 def q_status_transition(spark, sf_dir):
-    """P10: crawl-status state machine as a when/otherwise chain."""
-    orders = load_table(spark, sf_dir, "orders")
-    status = (
-        F.when(F.col("o_orderstatus") == "O", F.lit("pending"))
-        .when(F.col("o_orderstatus") == "F", F.lit("fetched"))
-        .when(F.col("o_orderstatus") == "P", F.lit("parse"))
-        .otherwise(F.lit("closed"))
+    """P10: the engine's FULL status state machine (engine.py
+    _build_round_cols rc['status']/rc['retry_count']/rc['retry_back']/
+    rc['backoff_delta'], mirroring reference cache.py:140-159 +
+    manager.py:37 BACKOFF_STRATEGY) exercised PER ROW over a generated
+    frontier covering every outcome x retry_count interleaving — the old
+    3-row aggregate fixture could not catch a wrong `when` branch that
+    only fires on retry-vs-error interleavings (r4 verdict #2)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
     )
-    return (
-        orders.select(F.col("o_orderstatus"), status.alias("status_name"))
-        .groupBy("o_orderstatus", "status_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    max_retries = 3
+    outcome = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.lit("success"))
+        .when(F.col("l_linenumber") % 4 == 1, F.lit("robots_denied"))
+        .when(F.col("l_linenumber") % 4 == 2, F.lit("error404"))
+        .otherwise(F.lit("retry"))
+    )
+    fr = li.select(
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        outcome.alias("outcome"),
+        (F.col("l_suppkey") % 4).cast("int").alias("retry_count"),
+    )
+    # the engine's exact when-chain order (branch order is load-bearing:
+    # the retry-exhausted test must only be reached for outcome == retry)
+    new_status = (
+        F.when(F.col("outcome") == "success", F.lit("fetched"))
+        .when(F.col("outcome") == "robots_denied", F.lit("robots_denied"))
+        .when(F.col("outcome") == "error404", F.lit("error"))
+        .when(F.col("retry_count") + 1 >= max_retries, F.lit("error"))
+        .otherwise(F.lit("pending"))
+    )
+    new_retry_count = (
+        F.when(F.col("outcome") == "retry", F.col("retry_count") + 1)
+        .otherwise(F.col("retry_count"))
+    )
+    retry_back = (F.col("outcome") == "retry") & (
+        F.col("retry_count") + 1 < max_retries
+    )
+    backoff = F.when(
+        retry_back,
+        F.element_at(
+            F.array(*[F.lit(b) for b in BACKOFF]),
+            F.least(F.col("retry_count") + 1, F.lit(len(BACKOFF))),
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return fr.select(
+        "k1",
+        "k2",
+        "outcome",
+        "retry_count",
+        new_status.alias("new_status"),
+        new_retry_count.cast("int").alias("new_retry_count"),
+        backoff.alias("backoff"),
     )
 
 
@@ -911,11 +953,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
         """,
         "status_transition": """
-            SELECT o_orderstatus,
-                   CASE o_orderstatus WHEN 'O' THEN 'pending' WHEN 'F' THEN 'fetched'
-                        WHEN 'P' THEN 'parse' ELSE 'closed' END AS status_name,
-                   count(*)::BIGINT AS n
-            FROM orders GROUP BY o_orderstatus
+            WITH fr AS (
+              SELECT l_orderkey::BIGINT AS k1, l_linenumber::BIGINT AS k2,
+                     CASE l_linenumber % 4 WHEN 0 THEN 'success'
+                          WHEN 1 THEN 'robots_denied' WHEN 2 THEN 'error404'
+                          ELSE 'retry' END AS outcome,
+                     (l_suppkey % 4)::INT AS retry_count
+              FROM lineitem WHERE l_orderkey % 97 = 0
+            )
+            SELECT k1, k2, outcome, retry_count,
+                   CASE WHEN outcome = 'success' THEN 'fetched'
+                        WHEN outcome = 'robots_denied' THEN 'robots_denied'
+                        WHEN outcome = 'error404' THEN 'error'
+                        WHEN retry_count + 1 >= 3 THEN 'error'
+                        ELSE 'pending' END AS new_status,
+                   (CASE WHEN outcome = 'retry' THEN retry_count + 1
+                         ELSE retry_count END)::INT AS new_retry_count,
+                   CASE WHEN outcome = 'retry' AND retry_count + 1 < 3
+                        THEN ([10.0, 30.0, 60.0])[LEAST(retry_count + 1, 3)]::DOUBLE
+                        ELSE NULL END AS backoff
+            FROM fr
         """,
         "retry_backoff": """
             SELECT l_orderkey, l_linenumber,

@@ -170,6 +170,13 @@ class CrawlEngine:
         self._bloom_mk: tuple[int, int] | None = None
         self._cuckoo: dict[int, bytes] | None = None
         self._cuckoo_rows: int | None = None
+        # prefilter residency: past seen_ops.MAX_DRIVER_BLOOM_BYTES the
+        # filter never comes to the driver — it lives in the sidecar
+        # parquet and rounds probe it bucket-partitioned executor-side
+        # (filter_unseen(sidecar_path=...)); the engine degrades to this
+        # automatically instead of raising at the gate (r4 verdict #1)
+        self._bloom_sidecar_mode = False
+        self._cuckoo_sidecar_mode = False
         # (url, rank) from the last refresh_pagerank(); None until computed
         self._ranks: DataFrame | None = None
         # in-memory state between parquet snapshots. The frontier is held
@@ -334,6 +341,8 @@ class CrawlEngine:
             self.catalog.reset()
             self._blooms = None
             self._cuckoo = None
+            self._bloom_sidecar_mode = False
+            self._cuckoo_sidecar_mode = False
         details, fallback = expand_sitemaps(self.seeds, self.sitemaps_raw)
         # cut lineage once: details feeds the sitemaps commit AND the
         # frontier build; frontier feeds its own commit AND the seen commit —
@@ -541,24 +550,50 @@ class CrawlEngine:
         ONLY if its persisted geometry (m, k, n_buckets) matches the current
         config — probing bitmaps with mismatched geometry yields silent
         false negatives (duplicate crawling) or IndexError; on mismatch the
-        Bloom is rebuilt from the seen table instead."""
-        if not self.cfg.use_bloom or self._blooms is not None:
+        Bloom is rebuilt from the seen table instead.
+
+        RESIDENCY is size-gated (r4 verdict #1): a configured filter past
+        seen_ops.MAX_DRIVER_BLOOM_BYTES (the 10^10-key / ~12 GB class)
+        never comes to the driver — it is built/kept as the sidecar parquet
+        and rounds probe it bucket-partitioned executor-side; the engine
+        degrades automatically instead of raising at the collect gate."""
+        if not self.cfg.use_bloom or self._blooms is not None \
+                or self._bloom_sidecar_mode:
             return
         m, k = seen_ops.bloom_params(self.cfg.bloom_expected_n, self.cfg.bloom_fpp)
         self._bloom_mk = (m, k)
         import os
 
-        if os.path.isdir(self._bloom_sidecar_path()):
-            geom = seen_ops.read_bloom_geometry(self._bloom_sidecar_path())
+        path = self._bloom_sidecar_path()
+        geom = (
+            seen_ops.read_bloom_geometry(path) if os.path.isdir(path) else None
+        )
+        total = self.cfg.bloom_buckets * (m // 8)
+        if total > seen_ops.MAX_DRIVER_BLOOM_BYTES:
+            self._bloom_sidecar_mode = True
             if geom == (m, k, self.cfg.bloom_buckets):
-                self._blooms = seen_ops.read_bloom_sidecar(
-                    self.spark, self._bloom_sidecar_path()
-                )
-                return
-            log.warning(
-                "bloom sidecar geometry %s != configured %s — rebuilding",
-                geom, (m, k, self.cfg.bloom_buckets),
+                log.info("bloom sidecar mode: reusing persisted filter")
+                return  # probe straight off the persisted sidecar
+            log.info(
+                "bloom of %d bytes exceeds the driver gate — building the "
+                "bucket-partitioned sidecar (no driver residency)", total,
             )
+            seen_ops.build_bloom_sidecar(
+                seen, path, self.cfg.bloom_buckets, m, k
+            )
+            return
+        if geom is not None:
+            if geom == (m, k, self.cfg.bloom_buckets):
+                try:
+                    self._blooms = seen_ops.read_bloom_sidecar(self.spark, path)
+                    return
+                except Exception as exc:  # gutted dir etc. — rebuild
+                    log.warning("bloom sidecar unreadable (%s) — rebuilding", exc)
+            else:
+                log.warning(
+                    "bloom sidecar geometry %s != configured %s — rebuilding",
+                    geom, (m, k, self.cfg.bloom_buckets),
+                )
         self._blooms = seen_ops.build_bucket_blooms(
             seen, self.cfg.bloom_buckets, m, k
         )
@@ -576,24 +611,51 @@ class CrawlEngine:
         current config — probing tables with a different n_rows yields
         silent false negatives, so a mismatch rebuilds from the seen
         table instead (one pass at bloom-build cost)."""
-        if not self.cfg.use_cuckoo or self._cuckoo is not None:
+        if not self.cfg.use_cuckoo or self._cuckoo is not None \
+                or self._cuckoo_sidecar_mode:
             return
         import os
 
         self._cuckoo_rows = seen_ops.cuckoo_params(
             max(1, self.cfg.bloom_expected_n // self.cfg.bloom_buckets)
         )
-        if os.path.isdir(self._cuckoo_sidecar_path()):
-            geom = seen_ops.read_cuckoo_geometry(self._cuckoo_sidecar_path())
+        path = self._cuckoo_sidecar_path()
+        geom = (
+            seen_ops.read_cuckoo_geometry(path) if os.path.isdir(path) else None
+        )
+        total = (
+            self.cfg.bloom_buckets * self._cuckoo_rows
+            * seen_ops.SLOTS_PER_BUCKET * 2
+        )
+        if total > seen_ops.MAX_DRIVER_BLOOM_BYTES:
+            # residency gate (r4 verdict #1): keep the filter in the
+            # sidecar and probe it bucket-partitioned — never collect
+            self._cuckoo_sidecar_mode = True
             if geom == (self._cuckoo_rows, self.cfg.bloom_buckets):
-                self._cuckoo = seen_ops.read_cuckoo_sidecar(
-                    self._cuckoo_sidecar_path()
-                )
+                log.info("cuckoo sidecar mode: reusing persisted filter")
                 return
-            log.warning(
-                "cuckoo sidecar geometry %s != configured %s — rebuilding",
-                geom, (self._cuckoo_rows, self.cfg.bloom_buckets),
+            log.info(
+                "cuckoo of %d bytes exceeds the driver gate — building the "
+                "bucket-partitioned sidecar (no driver residency)", total,
             )
+            seen_ops.build_cuckoo_sidecar(
+                seen, path, self.cfg.bloom_buckets, self._cuckoo_rows
+            )
+            return
+        if geom is not None:
+            if geom == (self._cuckoo_rows, self.cfg.bloom_buckets):
+                try:
+                    self._cuckoo = seen_ops.read_cuckoo_sidecar(path)
+                    return
+                except Exception as exc:  # gutted dir etc. — rebuild
+                    log.warning(
+                        "cuckoo sidecar unreadable (%s) — rebuilding", exc
+                    )
+            else:
+                log.warning(
+                    "cuckoo sidecar geometry %s != configured %s — rebuilding",
+                    geom, (self._cuckoo_rows, self.cfg.bloom_buckets),
+                )
         self._cuckoo = seen_ops.build_bucket_cuckoos(
             seen, self.cfg.bloom_buckets, self._cuckoo_rows
         )
@@ -809,10 +871,23 @@ class CrawlEngine:
         )
         self._maybe_build_blooms(self._seen_full_view())
         self._maybe_build_cuckoo(self._seen_full_view())
-        if self._cuckoo is not None:
+        if self._cuckoo_sidecar_mode:
+            # past the driver gate: bucket-partitioned executor-side probe
+            fresh = seen_ops.filter_unseen_cuckoo(
+                candidates, seen, None,
+                self.cfg.bloom_buckets, self._cuckoo_rows,
+                sidecar_path=self._cuckoo_sidecar_path(),
+            )
+        elif self._cuckoo is not None:
             fresh = seen_ops.filter_unseen_cuckoo(
                 candidates, seen, self._cuckoo,
                 self.cfg.bloom_buckets, self._cuckoo_rows,
+            )
+        elif self._bloom_sidecar_mode:
+            m, k = self._bloom_mk
+            fresh = seen_ops.filter_unseen(
+                candidates, seen, n_buckets=self.cfg.bloom_buckets,
+                m_bits=m, k=k, sidecar_path=self._bloom_sidecar_path(),
             )
         elif self._blooms is not None:
             m, k = self._bloom_mk
@@ -964,6 +1039,15 @@ class CrawlEngine:
             return
         # captured before the frontier branch may zero it at compaction
         touched = self._updates_count
+        # sidecar-mode prefilters fold the round deltas in DISTRIBUTED at
+        # flush cadence (between flushes the drift anti-join covers them);
+        # capture the union before _commit_table clears the delta lists
+        seen_delta_union = None
+        if (self._bloom_sidecar_mode or self._cuckoo_sidecar_mode) \
+                and self._deltas["seen"]:
+            seen_delta_union = self._deltas["seen"][0]
+            for d in self._deltas["seen"][1:]:
+                seen_delta_union = seen_delta_union.unionByName(d)
         # NOTE: _flushed_round is only set at the END — an interrupted flush
         # (e.g. a streaming wrapper's stop() landing mid-write) must be
         # retryable; each table clears its pending state right after its own
@@ -1035,6 +1119,24 @@ class CrawlEngine:
             seen_ops.write_cuckoo_sidecar(
                 self._cuckoo, self._cuckoo_sidecar_path(),
                 n_rows=self._cuckoo_rows, n_buckets=self.cfg.bloom_buckets,
+            )
+        # sidecar residency mode: fold the flushed seen delta into the
+        # persisted filter fully distributed (no table bytes touch the
+        # driver). Runs AFTER the table commits and BEFORE the round
+        # manifest, like the dict-mode writes: a crash after the merge but
+        # before the manifest rolls the tables back, leaving the sidecar a
+        # SUPERSET of the seen base — extra keys are false positives (cost
+        # work), never false negatives.
+        if self._bloom_sidecar_mode and seen_delta_union is not None:
+            m, k = self._bloom_mk
+            seen_ops.merge_bloom_sidecar(
+                self.spark, seen_delta_union, self._bloom_sidecar_path(),
+                self.cfg.bloom_buckets, m, k,
+            )
+        if self._cuckoo_sidecar_mode and seen_delta_union is not None:
+            seen_ops.merge_cuckoo_sidecar(
+                self.spark, seen_delta_union, self._cuckoo_sidecar_path(),
+                self.cfg.bloom_buckets, self._cuckoo_rows,
             )
         # reload derived state from the flushed parquet (bounds partition
         # counts), then release the round frames the lazy deltas referenced

@@ -88,6 +88,12 @@ def deterministic_sample(
     return df.filter(sample_hash_col(F.col(key_col), salt) < threshold)
 
 
+# per-term column bound for bm25_scores: each query term adds a withColumn
+# + an agg column, so plan width (and Catalyst analysis time) is linear in
+# terms — fine for topic queries, degenerate at hundreds (r4 verdict #4)
+BM25_MAX_TERMS = 32
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -112,9 +118,22 @@ def bm25_scores(
       b·dl/avgdl)). At 10^10 docs: one agg pass + one projection pass,
       no joins, no shuffles beyond the agg's single-row combine.
 
-    Returns (id_col, bm25 double rounded to 4) for every document."""
+    Returns (id_col, bm25 double rounded to 4) for every document.
+
+    The per-term columns bound the query size: each term adds one
+    ``withColumn`` + one agg column, so hundreds of terms would degenerate
+    into very wide plans and slow analysis. Topic curation uses a handful
+    of terms; past BM25_MAX_TERMS this raises instead of silently building
+    a pathological plan (split long queries, or pre-reduce them to their
+    top discriminative terms)."""
     import math
 
+    if len(query_terms) > BM25_MAX_TERMS:
+        raise ValueError(
+            f"bm25_scores got {len(query_terms)} query terms; the per-term "
+            f"column shape is bounded at {BM25_MAX_TERMS} (wide-plan "
+            "degeneracy past that) — split the query or reduce its terms"
+        )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_dl", F.size("_t")
@@ -134,7 +153,19 @@ def bm25_scores(
         for i in range(len(query_terms))
     ]
     stats = d.agg(*aggs).first()  # one row — KB driver metadata
-    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    n = float(stats["n"])
+    if n == 0:
+        # empty corpus: avg() is NULL (float(None) raised, ADVICE r4)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        empty_schema = StructType(
+            [docs.schema[id_col], StructField("bm25", DoubleType())]
+        )
+        return docs.sparkSession.createDataFrame([], empty_schema)
+    # all-empty docs give avgdl == 0; floor it so the dl/avgdl length
+    # normalization never divides by zero (dl is 0 for every row then,
+    # so the floored denominator still scores those docs 0)
+    avgdl = float(stats["avgdl"] or 0.0) or 1.0
     score = F.lit(0.0)
     for i in range(len(query_terms)):
         idf = math.log((n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)

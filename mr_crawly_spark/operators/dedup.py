@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
 
 
+def _size_bytes(conf_value: str) -> int:
+    """Parse Spark's byte-string conf values ('134217728b', '128m', plain
+    digits) — spark.conf returns whatever unit the value was set with."""
+    v = conf_value.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if v and v[-1] in units:
+        return int(v[:-1]) * units[v[-1]]
+    return int(v)
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Give CPU-heavy per-row work (shingling, per-token md5) enough input
     partitions. A small parquet with one row group scans as ONE task no
@@ -24,11 +34,42 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     group — so the expensive projection would run serial. A round-robin
     repartition of the (small) input is one narrow shuffle that unlocks
     every core; it's a NO-OP when the input already has enough partitions
-    (the 100-TB case, where files >> maxPartitionBytes)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    (the 100-TB case, where files >> maxPartitionBytes).
+
+    Width is decided purely DataFrame-side (r4 verdict #3 — the old
+    getNumPartitions probe converted the plan to an RDD on the
+    driver per call): scan width is estimated the way FilePartition packs
+    splits, ceil(file_size / maxPartitionBytes) summed over the scan's
+    input files. Non-file frames (in-memory checkpoints, post-shuffle
+    results) report no input files and are left alone — their width was
+    already set by whatever produced them."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            # remote FS: sizes aren't stat-able from here, and at object-
+            # store scale files >> maxPartitionBytes anyway — leave as-is
+            return df
+        try:
+            size = os.path.getsize(parsed.path or f)
+        except OSError:
+            return df
+        est += max(1, math.ceil(size / max_pb))
+        if est >= target:
+            return df
+    return df.repartition(target)
 
 
 def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -482,6 +523,7 @@ def connected_components_star(
     edges = sym
     sig = signature(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         rounds += 1
         # --- large-star: larger neighbors attach to u's min neighborhood --
@@ -517,8 +559,20 @@ def connected_components_star(
         )
         new_sig = signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # the attach step below assumes the star fixed point; labels from a
+        # truncated run can be WRONG (a node attached to a non-minimal hub),
+        # and silently returning them hid that (ADVICE r4). Star contraction
+        # converges in O(log^2 n) rounds, so exhausting max_iterations means
+        # the budget is far too small for the graph — fail loudly.
+        raise RuntimeError(
+            f"connected_components_star did not reach its edge fixed point "
+            f"in {max_iterations} rounds — labels would be unreliable; "
+            "raise max_iterations (convergence is ~log n rounds)"
+        )
     # converged: every non-min node has an edge to its component min
     attach = (
         edges.select(F.greatest("u", "v").alias("id"), F.least("u", "v").alias("m"))

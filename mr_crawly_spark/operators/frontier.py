@@ -314,6 +314,11 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        # empty link graph (e.g. refresh before any successful round —
+        # bootstrap commits a schema-only links delta): no ranks, not a
+        # ZeroDivisionError from the 1/N initialization (ADVICE r4)
+        return edges.sparkSession.createDataFrame([], "url string, rank double")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     contrib_edges = e.join(outdeg, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -104,8 +104,18 @@ def _write_geometry(path: str, m_bits: int, k: int, n_buckets: int) -> None:
     import os
 
     os.makedirs(path, exist_ok=True)
-    with open(_geometry_path(path), "w") as f:
+    tmp = _geometry_path(path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"m_bits": m_bits, "k": k, "n_buckets": n_buckets}, f)
+    os.replace(tmp, _geometry_path(path))
+
+
+def _remove_geometry(path: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_geometry_path(path))
 
 
 def read_bloom_geometry(path: str) -> tuple[int, int, int] | None:
@@ -127,9 +137,84 @@ def build_bloom_sidecar(
     seen: DataFrame, path: str, n_buckets: int, m_bits: int, k: int
 ) -> None:
     """Scale path: build the bucketed Bloom distributed and write it straight
-    to the sidecar parquet — no driver collect at any size."""
+    to the sidecar parquet — no driver collect at any size.
+
+    Crash-safe ordering: the geometry file is removed FIRST and rewritten
+    LAST, so any partial state in between has no geometry and loaders
+    rebuild instead of probing a half-written filter (a valid geometry over
+    missing bitmaps would silently answer definitely-unseen for every key —
+    false negatives across the whole seen set)."""
+    _remove_geometry(path)
     _bloom_df(seen, n_buckets, m_bits, k).write.mode("overwrite").parquet(path)
     _write_geometry(path, m_bits, k, n_buckets)
+
+
+def _swap_sidecar_parquet(path, tmp_dir, remove_geom, write_geom) -> None:
+    """Replace ``path``'s parquet files with a freshly-written tmp dir's,
+    geometry-last: the geometry is removed before the first destructive
+    step and rewritten only after the new files are all in place, so a
+    crash at ANY point leaves a geometry-less dir that loaders treat as
+    absent (rebuild) — never a valid geometry over partial bitmaps."""
+    import glob as _glob
+    import os
+    import shutil
+
+    remove_geom()  # invalidate: any crash below -> rebuild on resume
+    for old in _glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(old)
+    os.makedirs(path, exist_ok=True)
+    parts = sorted(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    for i, fn in enumerate(parts):
+        os.replace(fn, os.path.join(path, f"part-{i:05d}.parquet"))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    write_geom()  # valid again
+
+
+def merge_bloom_sidecar(
+    spark: SparkSession,
+    seen_delta: DataFrame,
+    path: str,
+    n_buckets: int,
+    m_bits: int,
+    k: int,
+) -> None:
+    """Fold a seen DELTA into the sidecar Bloom fully distributed — the
+    sidecar-mode twin of engine._bloom_add_delta: executors build the
+    delta's per-bucket bitmaps, union them with the existing sidecar rows,
+    and OR-merge per bucket (one applyInPandas task per touched bucket).
+    No bitmap ever reaches the driver; per-flush cost is one scan of the
+    (filter-sized, n_buckets-row) sidecar plus the delta — independent of
+    the seen table's size."""
+    geom = read_bloom_geometry(path)
+    if geom is not None and geom != (m_bits, k, n_buckets):
+        raise ValueError(f"sidecar geometry {geom} != {(m_bits, k, n_buckets)}")
+    existing = spark.read.parquet(path).select("bucket", "bits")
+    delta = _bloom_df(seen_delta, n_buckets, m_bits, k)
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for raw in pdf["bits"]:
+            arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+            if acc is not None and len(arr) != len(acc):
+                raise ValueError("bloom bitmap length mismatch — geometry drift")
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("bucket")
+        .applyInPandas(or_merge, "bucket int, bits binary")
+    )
+    tmp = path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_sidecar_parquet(
+        path,
+        tmp,
+        lambda: _remove_geometry(path),
+        lambda: _write_geometry(path, m_bits, k, n_buckets),
+    )
 
 
 def write_bloom_sidecar(
@@ -144,7 +229,14 @@ def write_bloom_sidecar(
     including its geometry (resume validates it before probing). The dict
     already lives on the driver (size-gated), so the parquet is written
     pyarrow-direct — a createDataFrame + write job cost ~0.5 s of pure
-    scheduling on every flush. Spark reads it back like any parquet dir."""
+    scheduling on every flush. Spark reads it back like any parquet dir.
+
+    Crash-safe ordering (ADVICE r4): geometry removed FIRST, parquet
+    written to a temp name and os.replace()d, geometry written LAST — a
+    crash at any point leaves either the old complete sidecar or a
+    geometry-less dir that loaders treat as absent and rebuild. The old
+    remove-then-write order could leave a valid geometry over zero
+    parquet files, which probes as all-unseen (silent false negatives)."""
     import glob as _glob
     import os as _os
 
@@ -152,8 +244,11 @@ def write_bloom_sidecar(
     import pyarrow.parquet as pq
 
     _os.makedirs(path, exist_ok=True)
+    _remove_geometry(path)
+    target = _os.path.join(path, "part-00000.parquet")
     for old in _glob.glob(_os.path.join(path, "*.parquet")):
-        _os.remove(old)  # overwrite semantics of the old Spark write
+        if old != target:
+            _os.remove(old)  # stale parts from a previous distributed write
     pq.write_table(
         pa.table(
             {
@@ -161,8 +256,9 @@ def write_bloom_sidecar(
                 "bits": pa.array(list(blooms.values()), pa.binary()),
             }
         ),
-        _os.path.join(path, "part-00000.parquet"),
+        target + ".tmp",
     )
+    _os.replace(target + ".tmp", target)
     if m_bits is not None and k is not None and n_buckets is not None:
         _write_geometry(path, m_bits, k, n_buckets)
 
@@ -257,6 +353,12 @@ def bloom_prefilter_sidecar(
             f"sidecar geometry {geom} != requested {(m_bits, k, n_buckets)}"
         )
     files = sorted(_glob.glob(f"{sidecar_path}/*.parquet"))
+    if not files:
+        # a parquet-less sidecar would probe every key as definitely-unseen
+        # (silent false negatives) — refuse; callers rebuild instead
+        raise FileNotFoundError(
+            f"bloom sidecar {sidecar_path} has no parquet files — rebuild it"
+        )
 
     bucketed = candidates.withColumn(
         "_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets))
@@ -467,7 +569,8 @@ def build_bucket_cuckoos(
     if total > MAX_DRIVER_BLOOM_BYTES:
         raise ValueError(
             f"cuckoo of {total} bytes exceeds the driver gate "
-            f"({MAX_DRIVER_BLOOM_BYTES}); shard it like the Bloom sidecar"
+            f"({MAX_DRIVER_BLOOM_BYTES}); use build_cuckoo_sidecar + "
+            "cuckoo_prefilter_sidecar (bucket-partitioned, no driver collect)"
         )
     rows = _cuckoo_df(seen, n_buckets, n_rows).collect()
     return {r["bucket"]: bytes(r["bits"]) for r in rows}
@@ -574,6 +677,99 @@ def _cuckoo_geometry_path(path: str) -> str:
     return os.path.join(path, "_cuckoo_geometry.json")
 
 
+def _remove_cuckoo_geometry(path: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_cuckoo_geometry_path(path))
+
+
+def _write_cuckoo_geometry(path: str, n_rows: int, n_buckets: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = _cuckoo_geometry_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_rows": n_rows, "n_buckets": n_buckets}, f)
+    os.replace(tmp, _cuckoo_geometry_path(path))
+
+
+def build_cuckoo_sidecar(
+    seen: DataFrame, path: str, n_buckets: int, n_rows: int
+) -> None:
+    """Scale path: build the bucketed cuckoo filter distributed (one task
+    per engine bucket) and write it straight to the sidecar parquet — no
+    driver collect at any size. The twin of build_bloom_sidecar, with the
+    same crash-safe geometry-removed-first / geometry-written-last order."""
+    _remove_cuckoo_geometry(path)
+    _cuckoo_df(seen, n_buckets, n_rows).write.mode("overwrite").parquet(path)
+    _write_cuckoo_geometry(path, n_rows, n_buckets)
+
+
+def _cuckoo_fold_tables(raws: list[bytes], n_rows: int) -> bytes:
+    """Fold same-geometry cuckoo tables into one: the first is the base,
+    every later table's stored (row, fp) pairs re-place into it via the
+    involutive key class {r, r ^ mix(fp)}. Any saturated input (or a merge
+    overflow) saturates the result — degrades to maybe-seen, never lies."""
+    if any(t == b"" for t in raws):
+        return b""
+    base = np.frombuffer(raws[0], dtype=np.uint16).reshape(
+        n_rows, SLOTS_PER_BUCKET
+    ).copy()
+    for t in raws[1:]:
+        d = np.frombuffer(t, dtype=np.uint16).reshape(n_rows, SLOTS_PER_BUCKET)
+        merged = _cuckoo_merge_tables(base, d, n_rows)
+        if merged == b"":
+            return b""
+        base = np.frombuffer(merged, dtype=np.uint16).reshape(
+            n_rows, SLOTS_PER_BUCKET
+        ).copy()
+    return base.tobytes()
+
+
+def merge_cuckoo_sidecar(
+    spark: SparkSession,
+    seen_delta: DataFrame,
+    path: str,
+    n_buckets: int,
+    n_rows: int,
+) -> None:
+    """Fold a seen DELTA into the sidecar cuckoo filter fully distributed —
+    the sidecar-mode twin of cuckoo_add_delta: executors build the delta's
+    per-bucket tables, union them with the existing sidecar rows, and fold
+    per bucket (one applyInPandas task per touched bucket). No table bytes
+    reach the driver; a bucket whose fold overflows flips to the saturated
+    sentinel (costs work, never correctness)."""
+    geom = read_cuckoo_geometry(path)
+    if geom is not None and geom != (n_rows, n_buckets):
+        raise ValueError(f"sidecar geometry {geom} != {(n_rows, n_buckets)}")
+    existing = spark.read.parquet(path).select("bucket", "bits")
+    delta = _cuckoo_df(seen_delta, n_buckets, n_rows)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        raws = [bytes(r) for r in pdf["bits"]]
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])],
+             "bits": [_cuckoo_fold_tables(raws, n_rows)]}
+        )
+
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("bucket")
+        .applyInPandas(fold, "bucket int, bits binary")
+    )
+    tmp = path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_sidecar_parquet(
+        path,
+        tmp,
+        lambda: _remove_cuckoo_geometry(path),
+        lambda: _write_cuckoo_geometry(path, n_rows, n_buckets),
+    )
+
+
 def write_cuckoo_sidecar(
     tables: dict[int, bytes], path: str, n_rows: int, n_buckets: int
 ) -> None:
@@ -581,7 +777,15 @@ def write_cuckoo_sidecar(
     (the Bloom-sidecar twin): pyarrow-direct parquet (the dict is
     size-gated driver data — no Spark job) plus a geometry file. Resume
     MUST validate the geometry before probing: tables probed with a
-    different n_rows give silent false negatives."""
+    different n_rows give silent false negatives.
+
+    Crash-safe ordering (ADVICE r4): geometry removed FIRST, parquet
+    written to a temp name and os.replace()d, geometry written LAST — a
+    crash mid-write leaves a geometry-less dir that resume treats as
+    absent (rebuild from the seen table), never a valid geometry over
+    zero parquet files (which read_cuckoo_sidecar would return as {} and
+    cuckoo_prefilter would probe as definitely-unseen for every key)."""
+    import contextlib
     import glob as _glob
     import json
     import os
@@ -590,8 +794,12 @@ def write_cuckoo_sidecar(
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_cuckoo_geometry_path(path))
+    target = os.path.join(path, "part-00000.parquet")
     for old in _glob.glob(os.path.join(path, "*.parquet")):
-        os.remove(old)
+        if old != target:
+            os.remove(old)
     pq.write_table(
         pa.table(
             {
@@ -599,10 +807,13 @@ def write_cuckoo_sidecar(
                 "bits": pa.array(list(tables.values()), pa.binary()),
             }
         ),
-        os.path.join(path, "part-00000.parquet"),
+        target + ".tmp",
     )
-    with open(_cuckoo_geometry_path(path), "w") as f:
+    os.replace(target + ".tmp", target)
+    tmp = _cuckoo_geometry_path(path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"n_rows": n_rows, "n_buckets": n_buckets}, f)
+    os.replace(tmp, _cuckoo_geometry_path(path))
 
 
 def read_cuckoo_geometry(path: str) -> tuple[int, int] | None:
@@ -619,13 +830,24 @@ def read_cuckoo_geometry(path: str) -> tuple[int, int] | None:
 
 
 def read_cuckoo_sidecar(path: str) -> dict[int, bytes]:
+    """Load the persisted filter. Raises FileNotFoundError when the dir has
+    NO parquet files at all: an empty dict probes as definitely-unseen for
+    every key, so treating a gutted sidecar as 'empty filter' would turn
+    filesystem damage into silent false negatives — callers must rebuild
+    instead. (A legitimately empty filter is one parquet file, zero rows.)"""
     import glob as _glob
     import os
 
     import pyarrow.parquet as pq
 
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"cuckoo sidecar {path} has a geometry but no parquet files — "
+            "invalid state; rebuild from the seen table"
+        )
     out: dict[int, bytes] = {}
-    for fn in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+    for fn in files:
         tbl = pq.read_table(fn)
         for b, bits in zip(
             tbl.column("bucket").to_pylist(), tbl.column("bits").to_pylist()
@@ -715,18 +937,121 @@ def cuckoo_prefilter(
     return candidates.mapInPandas(probe, schema)
 
 
+def cuckoo_prefilter_sidecar(
+    candidates: DataFrame,
+    sidecar_path: str,
+    n_buckets: int,
+    n_rows: int,
+    debug_loaded_col: bool = False,
+) -> DataFrame:
+    """Append ``maybe_seen`` via a BUCKET-PARTITIONED cuckoo probe — the
+    twin of bloom_prefilter_sidecar: candidates are range-partitioned by
+    ``pmod(url_hash, n_buckets)`` and each task loads ONLY the bucket
+    tables in its partition, straight from the sidecar parquet with a
+    pyarrow bucket-predicate read. The full filter is never broadcast or
+    driver-resident — the path build_bucket_cuckoos' 256 MB driver gate
+    points at (a 10^9-key cuckoo at 2 B/fp·1.19 slots is ~2.4 GB; at
+    10^10 it is ~24 GB and MUST stay distributed).
+
+    Saturated buckets (b'' sentinel) answer maybe for every key; missing
+    buckets are empty (definitely unseen). ``debug_loaded_col`` adds
+    ``_buckets_loaded`` for the locality tests."""
+    import glob as _glob
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    geom = read_cuckoo_geometry(sidecar_path)
+    if geom is not None and geom != (n_rows, n_buckets):
+        raise ValueError(
+            f"sidecar geometry {geom} != requested {(n_rows, n_buckets)}"
+        )
+    files = sorted(_glob.glob(f"{sidecar_path}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"cuckoo sidecar {sidecar_path} has no parquet files — rebuild it"
+        )
+
+    bucketed = candidates.withColumn(
+        "_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets))
+    ).repartitionByRange(n_buckets, "_bucket")
+    fields = list(bucketed.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    if debug_loaded_col:
+        fields.append(StructField("_buckets_loaded", IntegerType()))
+    schema = StructType(fields)
+
+    _SATURATED = "saturated"
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq  # executor-side import
+
+        loaded: dict[int, np.ndarray | str | None] = {}
+
+        def load_bucket(b: int) -> np.ndarray | str | None:
+            for fn in files:
+                tbl = pq.read_table(fn, filters=[("bucket", "=", b)])
+                if tbl.num_rows:
+                    raw = tbl.column("bits")[0].as_py()
+                    if raw == b"":
+                        return _SATURATED
+                    return np.frombuffer(raw, dtype=np.uint16).reshape(
+                        n_rows, SLOTS_PER_BUCKET
+                    )
+            return None  # empty bucket -> definitely unseen
+
+        for pdf in batches:
+            signed = pdf["url_hash"].to_numpy(dtype=np.int64)
+            h = signed.view(np.uint64)
+            bkt = pdf["_bucket"].to_numpy(dtype=np.int64)
+            out = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(bkt):
+                if int(b) not in loaded:
+                    loaded[int(b)] = load_bucket(int(b))
+                tbl = loaded[int(b)]
+                if tbl is None:
+                    continue
+                mask = bkt == b
+                if isinstance(tbl, str):  # saturated -> exact join decides
+                    out[mask] = True
+                    continue
+                fps, i1s, i2s = _cuckoo_fp_i1_i2(h[mask], n_rows)
+                hit = (tbl[i1s] == fps[:, None]).any(axis=1) | (
+                    tbl[i2s] == fps[:, None]
+                ).any(axis=1)
+                out[mask] = hit
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            if debug_loaded_col:
+                pdf["_buckets_loaded"] = len(loaded)
+            yield pdf
+
+    return bucketed.mapInPandas(probe, schema).drop("_bucket")
+
+
 def filter_unseen_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,
-    tables: dict[int, bytes],
+    tables: dict[int, bytes] | None,
     n_buckets: int,
     n_rows: int,
+    sidecar_path: str | None = None,
 ) -> DataFrame:
     """filter_unseen with the cuckoo prefilter: exact semantics always —
     definitely-new rows skip the anti-join shuffle, flagged rows still join
-    exactly (false positives cost work, never correctness)."""
+    exactly (false positives cost work, never correctness). Pass ``tables``
+    (small, broadcast dict) OR ``sidecar_path`` (bucket-partitioned
+    executor-side loads — the scale path)."""
     seen_keys = seen.select("url_hash", "url")
-    probed = cuckoo_prefilter(candidates, tables, n_buckets, n_rows)
+    if sidecar_path is not None:
+        probed = cuckoo_prefilter_sidecar(
+            candidates, sidecar_path, n_buckets, n_rows
+        )
+    else:
+        probed = cuckoo_prefilter(candidates, tables, n_buckets, n_rows)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = (
         probed.filter(F.col("maybe_seen"))

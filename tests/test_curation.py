@@ -115,3 +115,43 @@ def test_bm25_scores_reference(spark):
     assert got == {i: score(i) for i, _ in rows}
     assert got[3] == 0.0          # no query term -> zero relevance
     assert min(got[1], got[2], got[4]) > 0.0  # matches all score positive
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """ADVICE r4: an empty docs frame must return an empty result, not
+    TypeError on float(None) from the NULL avgdl."""
+    from mr_crawly_spark.operators.curation import bm25_scores
+
+    docs = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_scores(docs, ["spark"])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "bm25"]
+
+
+def test_bm25_all_empty_docs_score_zero_not_nan(spark):
+    """avgdl == 0 (every doc empty) must not divide by zero: the floored
+    denominator scores those docs 0.0."""
+    from mr_crawly_spark.operators.curation import bm25_scores
+
+    docs = spark.createDataFrame(
+        [("a", ""), ("b", "")], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_bm25_term_bound_raises_cleanly(spark):
+    """r4 verdict #4: the per-term column shape is bounded — 64 terms must
+    raise a clear ValueError instead of building a degenerate wide plan."""
+    import pytest
+
+    from mr_crawly_spark.operators.curation import BM25_MAX_TERMS, bm25_scores
+
+    docs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    terms = [f"t{i}" for i in range(64)]
+    assert len(terms) > BM25_MAX_TERMS
+    with pytest.raises(ValueError, match="query terms"):
+        bm25_scores(docs, terms)
+    # at the bound itself it still works
+    out = bm25_scores(docs, [f"t{i}" for i in range(BM25_MAX_TERMS)])
+    assert out.count() == 1

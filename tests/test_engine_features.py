@@ -477,3 +477,30 @@ def test_console_handler_fallback(monkeypatch):
     setup_logging("DEBUG")  # second call must not stack handlers
     after = list(logger.handlers)
     assert len(after) <= max(len(before), 1)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """ADVICE r4: an empty links table (bootstrap commits a schema-only
+    delta) must yield zero ranks, not ZeroDivisionError from 1/N."""
+    from mr_crawly_spark.operators.frontier import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, n_iterations=3)
+    assert out.count() == 0
+    assert out.columns == ["url", "rank"]
+
+
+def test_star_cc_truncated_run_raises(spark):
+    """ADVICE r4: exhausting max_iterations without the edge fixed point
+    must fail loudly — the attach step's labels are unreliable then."""
+    import pytest
+
+    from mr_crawly_spark.operators import dedup as D
+
+    n = 40  # a chain needs ~log2(n)+ rounds; 1 round cannot converge it
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        D.connected_components_star(ids, pairs, max_iterations=1)

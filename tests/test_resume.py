@@ -164,3 +164,75 @@ def test_cuckoo_sidecar_resume(spark, tiny_corpus):
     other._maybe_build_cuckoo(other._seen_full_view())
     assert other._cuckoo is not None
     assert other._cuckoo_rows != eng._cuckoo_rows
+
+
+def test_bloom_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
+    """r4 verdict #1: past MAX_DRIVER_BLOOM_BYTES the engine must NOT raise
+    at the collect gate — it keeps the filter in the sidecar parquet and
+    routes rounds through the bucket-partitioned probe, with identical
+    outputs to the exact engine."""
+    from mr_crawly_spark.operators import seen as seen_ops
+
+    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_exg_"))
+    exact.run()
+
+    monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
+    gated = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_blg_"),
+        use_bloom=True, bloom_buckets=4, bloom_expected_n=4096,
+    )
+    gated.run()
+    assert gated._bloom_sidecar_mode      # degraded to the sidecar probe...
+    assert gated._blooms is None          # ...nothing driver-resident
+    assert _final_state(gated) == _final_state(exact)
+
+
+def test_cuckoo_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
+    """The cuckoo twin: past the driver gate the engine probes the
+    bucket-partitioned sidecar (the path build_bucket_cuckoos' gate error
+    points at) instead of crashing, outputs unchanged."""
+    from mr_crawly_spark.operators import seen as seen_ops
+
+    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_exg2_"))
+    exact.run()
+
+    monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
+    gated = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ckg_"),
+        use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096,
+    )
+    gated.run()
+    assert gated._cuckoo_sidecar_mode
+    assert gated._cuckoo is None
+    assert _final_state(gated) == _final_state(exact)
+
+
+def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch):
+    """Kill a sidecar-mode cuckoo crawl after round 2, resume in a NEW
+    engine (same gate): the persisted geometry revalidates, the sidecar
+    keeps being probed/merged, final state identical to uninterrupted."""
+    from mr_crawly_spark.operators import seen as seen_ops
+
+    monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
+    cfg = dict(
+        use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096,
+        checkpoint_interval=1,
+    )
+    wh = tempfile.mkdtemp(prefix="crawl_scres_")
+    first = _engine(spark, tiny_corpus, wh, max_rounds=2, **cfg)
+    first.run()
+    assert first._cuckoo_sidecar_mode
+
+    resumed = _engine(spark, tiny_corpus, wh, max_rounds=100,
+                      use_cuckoo=True, bloom_buckets=4,
+                      bloom_expected_n=4096, checkpoint_interval=1)
+    assert resumed.resume()
+    resumed.run(fresh=False)
+    assert resumed._cuckoo_sidecar_mode
+
+    baseline = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_scb_"),
+        max_rounds=100, **cfg,
+    )
+    baseline.run()
+    assert _final_state(resumed) == _final_state(baseline)

@@ -337,3 +337,226 @@ def test_cuckoo_delete_safe_under_fp_collision():
     assert probes(a) and probes(b)
     assert seen_ops.cuckoo_delete(tables, a, n_buckets, n_rows)
     assert probes(b)  # the surviving key MUST still probe positive
+
+
+# ------------------------------------------------------------------- #
+# sidecar scale paths (r4 verdict #1/#2): bucket-partitioned probes +
+# distributed merges + crash-safe write ordering
+
+def test_cuckoo_sidecar_probe_equals_exact_and_is_bucket_local(spark, tmp_path):
+    """The cuckoo twin of the Bloom sidecar probe: built distributed,
+    probed bucket-partitioned (each task loads only its partition's
+    tables), result EXACTLY the anti-join's."""
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(500)], "url string"
+        )
+    )
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.test/p/{i}",) for i in range(250, 750)],
+            "url string",
+        )
+    )
+    n_buckets = 8
+    n_rows = seen_ops.cuckoo_params(500 // n_buckets)
+    path = str(tmp_path / "cuckoo_sc")
+    seen_ops.build_cuckoo_sidecar(seen, path, n_buckets, n_rows)
+    assert seen_ops.read_cuckoo_geometry(path) == (n_rows, n_buckets)
+
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, seen).collect()}
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen_cuckoo(
+            cands, seen, None, n_buckets, n_rows, sidecar_path=path
+        ).collect()
+    }
+    assert got == exact
+
+    probed = seen_ops.cuckoo_prefilter_sidecar(
+        cands, path, n_buckets, n_rows, debug_loaded_col=True
+    )
+    per_row = [r["_buckets_loaded"] for r in probed.collect()]
+    assert max(per_row) <= 2
+    assert max(per_row) < n_buckets  # no task touched the whole filter
+
+
+def test_cuckoo_sidecar_geometry_mismatch_rejected(spark, tmp_path):
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://x.test/{i}",) for i in range(50)], "url string"
+        )
+    )
+    n_rows = seen_ops.cuckoo_params(50)
+    path = str(tmp_path / "cuckoo_geo")
+    seen_ops.build_cuckoo_sidecar(seen, path, 4, n_rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="geometry"):
+        seen_ops.cuckoo_prefilter_sidecar(seen, path, 4, n_rows * 2).count()
+
+
+def test_merge_bloom_sidecar_distributed(spark, tmp_path):
+    """Flush-cadence fold: base sidecar + two deltas merged fully
+    distributed must equal a sidecar built from the full set — probe-wise
+    (no false negative for ANY seen key, filter result == exact)."""
+    n_buckets = 8
+    m, k = seen_ops.bloom_params(1200, fpp=0.02)
+    base = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(600)], "url string"
+        )
+    )
+    path = str(tmp_path / "bloom_merge")
+    seen_ops.build_bloom_sidecar(base, path, n_buckets, m, k)
+    full = base
+    for lo, hi in ((600, 900), (900, 1200)):
+        delta = _with_hash(
+            spark.createDataFrame(
+                [(f"https://h{i % 5}.test/p/{i}",) for i in range(lo, hi)],
+                "url string",
+            )
+        )
+        seen_ops.merge_bloom_sidecar(spark, delta, path, n_buckets, m, k)
+        full = full.unionByName(delta)
+    assert seen_ops.read_bloom_geometry(path) == (m, k, n_buckets)
+    # safety: every seen key still probes positive after the merges
+    probed = seen_ops.bloom_prefilter_sidecar(full, path, n_buckets, m, k)
+    from pyspark.sql import functions as F2
+    assert probed.filter(~F2.col("maybe_seen")).count() == 0
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(800, 1600)],
+            "url string",
+        )
+    )
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, full).collect()}
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen(
+            cands, full, n_buckets=n_buckets, m_bits=m, k=k, sidecar_path=path
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_merge_cuckoo_sidecar_distributed(spark, tmp_path):
+    """The cuckoo twin of the distributed sidecar merge."""
+    n_buckets, expected = 8, 2000
+    n_rows = seen_ops.cuckoo_params(expected // n_buckets)
+    base = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(600)], "url string"
+        )
+    )
+    path = str(tmp_path / "cuckoo_merge")
+    seen_ops.build_cuckoo_sidecar(base, path, n_buckets, n_rows)
+    full = base
+    for lo, hi in ((600, 900), (900, 1200)):
+        delta = _with_hash(
+            spark.createDataFrame(
+                [(f"https://h{i % 5}.test/p/{i}",) for i in range(lo, hi)],
+                "url string",
+            )
+        )
+        seen_ops.merge_cuckoo_sidecar(spark, delta, path, n_buckets, n_rows)
+        full = full.unionByName(delta)
+    # safety: every seen key probes positive after the merges
+    probed = seen_ops.cuckoo_prefilter_sidecar(full, path, n_buckets, n_rows)
+    from pyspark.sql import functions as F2
+    assert probed.filter(~F2.col("maybe_seen")).count() == 0
+    cands = _with_hash(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.test/p/{i}",) for i in range(800, 1600)],
+            "url string",
+        )
+    )
+    exact = {r["url"] for r in seen_ops.filter_unseen(cands, full).collect()}
+    got = {
+        r["url"]
+        for r in seen_ops.filter_unseen_cuckoo(
+            cands, full, None, n_buckets, n_rows, sidecar_path=path
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_gutted_sidecar_fails_loud_not_false_negative(spark, tmp_path):
+    """ADVICE r4: a sidecar dir with a valid geometry but NO parquet files
+    (the old non-atomic write's crash window) must REFUSE to load/probe —
+    returning {} would silently answer definitely-unseen for every key."""
+    import glob
+    import os
+
+    import pytest
+
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://x.test/{i}",) for i in range(50)], "url string"
+        )
+    )
+    n_rows = seen_ops.cuckoo_params(50)
+    cpath = str(tmp_path / "cuckoo_gut")
+    seen_ops.build_cuckoo_sidecar(seen, cpath, 4, n_rows)
+    for fn in glob.glob(os.path.join(cpath, "*.parquet")):
+        os.remove(fn)
+    assert seen_ops.read_cuckoo_geometry(cpath) is not None  # looks valid...
+    with pytest.raises(FileNotFoundError):
+        seen_ops.read_cuckoo_sidecar(cpath)  # ...but refuses to load
+    with pytest.raises(FileNotFoundError):
+        seen_ops.cuckoo_prefilter_sidecar(seen, cpath, 4, n_rows)
+
+    m, k = seen_ops.bloom_params(50)
+    bpath = str(tmp_path / "bloom_gut")
+    seen_ops.build_bloom_sidecar(seen, bpath, 4, m, k)
+    for fn in glob.glob(os.path.join(bpath, "*.parquet")):
+        os.remove(fn)
+    with pytest.raises(FileNotFoundError):
+        seen_ops.bloom_prefilter_sidecar(seen, bpath, 4, m, k)
+
+
+def test_sidecar_writes_are_geometry_last(spark, tmp_path):
+    """Crash-safety ordering (ADVICE r4): the pyarrow-direct writers must
+    stage the parquet via a temp name + os.replace and write the geometry
+    only after the data is in place — verified by interposing on the
+    geometry write and asserting the parquet is already complete."""
+    import os
+
+    seen = _with_hash(
+        spark.createDataFrame(
+            [(f"https://x.test/{i}",) for i in range(64)], "url string"
+        )
+    )
+    n_rows = seen_ops.cuckoo_params(64)
+    tables = seen_ops.build_bucket_cuckoos(seen, 4, n_rows)
+    path = str(tmp_path / "cuckoo_atomic")
+
+    real_replace = os.replace
+    order: list[str] = []
+
+    def spy_replace(src, dst):
+        order.append(os.path.basename(str(dst)))
+        return real_replace(src, dst)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.replace", side_effect=spy_replace):
+        seen_ops.write_cuckoo_sidecar(tables, path, n_rows=n_rows, n_buckets=4)
+    # data file replaced BEFORE the geometry file landed
+    assert order.index("part-00000.parquet") < order.index(
+        "_cuckoo_geometry.json"
+    )
+    assert seen_ops.read_cuckoo_sidecar(path) == tables
+
+    m, k = seen_ops.bloom_params(64)
+    blooms = seen_ops.build_bucket_blooms(seen, 4, m, k)
+    bpath = str(tmp_path / "bloom_atomic")
+    order.clear()
+    with mock.patch("os.replace", side_effect=spy_replace):
+        seen_ops.write_bloom_sidecar(
+            spark, blooms, bpath, m_bits=m, k=k, n_buckets=4
+        )
+    assert order.index("part-00000.parquet") < order.index(
+        "_bloom_geometry.json"
+    )
+    assert seen_ops.read_bloom_sidecar(spark, bpath) == blooms
