@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from mr_crawly_spark.datagen import corpus_to_spark
 from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
 from mr_crawly_spark.sources.corpus import CorpusFetcher
@@ -27,7 +29,17 @@ def _final_state(engine):
     return order, seen, links
 
 
-def test_resume_equals_uninterrupted(spark, tiny_corpus):
+@pytest.fixture(scope="module")
+def exact_state(spark, tiny_corpus):
+    """Final state of ONE default-config exact crawl over tiny_corpus —
+    shared by every must-not-change-outputs test in this module (running a
+    fresh baseline crawl per test was ~1/3 of the module's wall-clock)."""
+    eng = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_exsh_"))
+    eng.run()
+    return _final_state(eng)
+
+
+def test_resume_equals_uninterrupted(spark, tiny_corpus, exact_state):
     """Kill after round 2, resume in a NEW engine, final state identical.
     checkpoint_interval=1 pins a resume point at every round (the default
     interval of 4 only guarantees resume points at flushed rounds)."""
@@ -42,11 +54,7 @@ def test_resume_equals_uninterrupted(spark, tiny_corpus):
     assert resumed.visited_count == first.visited_count
     resumed.run(fresh=False)
 
-    baseline = _engine(
-        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_base_"), max_rounds=100
-    )
-    baseline.run()
-    assert _final_state(resumed) == _final_state(baseline)
+    assert _final_state(resumed) == exact_state
 
 
 def test_rollback_then_rerun(spark, tiny_corpus):
@@ -64,30 +72,26 @@ def test_rollback_then_rerun(spark, tiny_corpus):
     assert _final_state(again) == want
 
 
-def test_bloom_engine_equals_exact_engine(spark, tiny_corpus):
+def test_bloom_engine_equals_exact_engine(spark, tiny_corpus, exact_state):
     """use_bloom=True must not change any output (prefilter-only contract
     end-to-end, not just at the operator level)."""
-    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ex_"))
-    exact.run()
     bloomed = _engine(
         spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_bl_"),
         use_bloom=True, bloom_buckets=4,
     )
     bloomed.run()
-    assert _final_state(bloomed) == _final_state(exact)
+    assert _final_state(bloomed) == exact_state
 
 
-def test_partition_invariance(spark, tiny_corpus):
+def test_partition_invariance(spark, tiny_corpus, exact_state):
     """Same outputs under explicit hot-host salting / different partitioning —
     the determinism-under-parallelism property (SURVEY.md §5.2-5)."""
-    plain = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_p_"))
-    plain.run()
     salted = _engine(
         spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_s_"),
         salt_partitions=5, salt=7,
     )
     salted.run()
-    assert _final_state(plain) == _final_state(salted)
+    assert _final_state(salted) == exact_state
 
 
 def test_resume_discards_orphaned_table_commits(spark, tiny_corpus):
@@ -120,11 +124,9 @@ def test_resume_discards_orphaned_table_commits(spark, tiny_corpus):
     assert "https://orphan.test/x" not in got[1]  # ...orphan delta is gone
 
 
-def test_cuckoo_outputs_equal_exact(spark, tiny_corpus):
+def test_cuckoo_outputs_equal_exact(spark, tiny_corpus, exact_state):
     """use_cuckoo=True must not change any output (prefilter-only contract,
     twin of the Bloom test) — and the filter must actually engage."""
-    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ck_"))
-    exact.run()
     cuckooed = _engine(
         spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_ck2_"),
         use_cuckoo=True, bloom_buckets=4, bloom_expected_n=4096,
@@ -132,7 +134,7 @@ def test_cuckoo_outputs_equal_exact(spark, tiny_corpus):
     cuckooed.run()
     assert cuckooed._cuckoo is not None  # built and maintained
     assert any(v != b"" for v in cuckooed._cuckoo.values())
-    assert _final_state(cuckooed) == _final_state(exact)
+    assert _final_state(cuckooed) == exact_state
 
 
 def test_cuckoo_sidecar_resume(spark, tiny_corpus):
@@ -166,15 +168,13 @@ def test_cuckoo_sidecar_resume(spark, tiny_corpus):
     assert other._cuckoo_rows != eng._cuckoo_rows
 
 
-def test_bloom_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
+def test_bloom_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch,
+                                             exact_state):
     """r4 verdict #1: past MAX_DRIVER_BLOOM_BYTES the engine must NOT raise
     at the collect gate — it keeps the filter in the sidecar parquet and
     routes rounds through the bucket-partitioned probe, with identical
     outputs to the exact engine."""
     from mr_crawly_spark.operators import seen as seen_ops
-
-    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_exg_"))
-    exact.run()
 
     monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
     gated = _engine(
@@ -184,17 +184,15 @@ def test_bloom_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
     gated.run()
     assert gated._bloom_sidecar_mode      # degraded to the sidecar probe...
     assert gated._blooms is None          # ...nothing driver-resident
-    assert _final_state(gated) == _final_state(exact)
+    assert _final_state(gated) == exact_state
 
 
-def test_cuckoo_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
+def test_cuckoo_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch,
+                                              exact_state):
     """The cuckoo twin: past the driver gate the engine probes the
     bucket-partitioned sidecar (the path build_bucket_cuckoos' gate error
     points at) instead of crashing, outputs unchanged."""
     from mr_crawly_spark.operators import seen as seen_ops
-
-    exact = _engine(spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_exg2_"))
-    exact.run()
 
     monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
     gated = _engine(
@@ -204,7 +202,7 @@ def test_cuckoo_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch):
     gated.run()
     assert gated._cuckoo_sidecar_mode
     assert gated._cuckoo is None
-    assert _final_state(gated) == _final_state(exact)
+    assert _final_state(gated) == exact_state
 
 
 def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch):
