@@ -139,7 +139,7 @@ def test_recrawl_schedule_operator(spark):
 
 # warehouse hygiene (ADVICE): fresh bootstrap on a used warehouse must not
 # merge the previous run's state
-def test_fresh_bootstrap_clears_used_warehouse(spark, tiny_corpus):
+def test_fresh_bootstrap_clears_used_warehouse(spark, tiny_corpus, crawled):
     wh = tempfile.mkdtemp(prefix="crawl_cl_")
     first = _engine(spark, tiny_corpus, wh=wh)
     first.run()
@@ -150,8 +150,7 @@ def test_fresh_bootstrap_clears_used_warehouse(spark, tiny_corpus):
         refused.bootstrap()
     again = _engine(spark, tiny_corpus, wh=wh, run_id="run_0002", force_reset=True)
     again.run(fresh=True)  # would stall at 0 visited if old seen rows leaked
-    baseline = _engine(spark, tiny_corpus)
-    baseline.run()
+    baseline, _ = crawled  # the shared default crawl (read-only use)
     assert again.visited_count == baseline.visited_count
     got = {r["url"] for r in again.table("seen").collect()}
     want = {r["url"] for r in baseline.table("seen").collect()}
@@ -283,7 +282,7 @@ def test_cli_toml_merge_precedence(tmp_path):
     assert cfg(["--warehouse", "/tmp/wh", "--use-cuckoo"]).use_cuckoo is True
 
 
-def test_write_width_scales_with_round_volume(spark, tiny_corpus):
+def test_write_width_scales_with_round_volume(spark, tiny_corpus, crawled):
     """verdict r2 #2: the round's materializing checkpoint width is a
     function of the touched-row bound, not a hard-coded coalesce(8) — a
     cluster round of millions of rows must not funnel through 8 tasks."""
@@ -309,9 +308,8 @@ def test_write_width_scales_with_round_volume(spark, tiny_corpus):
         mm for mm in wide.catalog._manifests("frontier") if mm["kind"] == "delta"
     ]
     assert deltas and max(d["n_files"] for d in deltas) > 8
-    # outputs unchanged vs the default width
-    base = _engine(spark, tiny_corpus)
-    base.run()
+    # outputs unchanged vs the default width (the shared default crawl)
+    base, _ = crawled
     got = {r["url"] for r in wide.table("seen").collect()}
     want = {r["url"] for r in base.table("seen").collect()}
     assert got == want

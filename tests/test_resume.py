@@ -57,15 +57,26 @@ def test_resume_equals_uninterrupted(spark, tiny_corpus, exact_state):
     assert _final_state(resumed) == exact_state
 
 
-def test_rollback_then_rerun(spark, tiny_corpus):
-    """Time travel: roll back to round 1 and re-run -> same final state."""
-    wh = tempfile.mkdtemp(prefix="crawl_rb_")
+@pytest.fixture(scope="module")
+def ci1_run(spark, tiny_corpus):
+    """ONE checkpoint_interval=1 full crawl (a resume point at every
+    round), shared by the rollback/orphan time-travel tests — each test
+    mutates a COPY of the warehouse, never the shared one."""
+    wh = tempfile.mkdtemp(prefix="crawl_ci1_")
     eng = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
     eng.run()
-    want = _final_state(eng)
+    return wh, _final_state(eng), eng.round
 
-    eng.catalog.rollback_to(1)
+
+def test_rollback_then_rerun(spark, tiny_corpus, ci1_run):
+    """Time travel: roll back to round 1 and re-run -> same final state."""
+    import shutil
+
+    src, want, _ = ci1_run
+    wh = src + "_rb"
+    shutil.copytree(src, wh)
     again = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
+    again.catalog.rollback_to(1)
     assert again.resume()
     assert again.round == 1
     again.run(fresh=False)
@@ -94,27 +105,26 @@ def test_partition_invariance(spark, tiny_corpus, exact_state):
     assert _final_state(salted) == exact_state
 
 
-def test_resume_discards_orphaned_table_commits(spark, tiny_corpus):
+def test_resume_discards_orphaned_table_commits(spark, tiny_corpus, ci1_run):
     """A crash can land between a table commit and the round manifest (the
     manifest is written last). Those orphaned deltas must NOT merge with the
     re-run's fresh commits: resume() rolls the catalog back to the last
     COMPLETE round first (ADVICE r2)."""
-    wh = tempfile.mkdtemp(prefix="crawl_orph_")
-    eng = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
-    eng.run()
-    want = _final_state(eng)
-    final_round = eng.round
+    import shutil
 
+    src, want, final_round = ci1_run
+    wh = src + "_orph"
+    shutil.copytree(src, wh)
+    again = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
     # rewind to round 1, then simulate a crash mid-flush of round 2: the
     # seen/pages table commits landed, the round manifest did not
-    eng.catalog.rollback_to(1)
+    again.catalog.rollback_to(1)
     poison = spark.createDataFrame(
         [(999999, "https://orphan.test/x", 2, "run_0001")],
         "url_hash long, url string, first_seen_round int, run_id string",
     )
-    eng.catalog.commit("seen", poison, 2, mode="delta")
+    again.catalog.commit("seen", poison, 2, mode="delta")
 
-    again = _engine(spark, tiny_corpus, wh, checkpoint_interval=1)
     assert again.resume()
     assert again.round == 1  # resumed at the last complete round
     again.run(fresh=False)
@@ -205,10 +215,14 @@ def test_cuckoo_gate_degrades_to_sidecar_mode(spark, tiny_corpus, monkeypatch,
     assert _final_state(gated) == exact_state
 
 
-def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch):
+def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch,
+                                       exact_state):
     """Kill a sidecar-mode cuckoo crawl after round 2, resume in a NEW
     engine (same gate): the persisted geometry revalidates, the sidecar
-    keeps being probed/merged, final state identical to uninterrupted."""
+    keeps being probed/merged, final state identical to uninterrupted.
+    The prefilter-only contract makes the shared exact crawl the baseline
+    (a separate sidecar-mode baseline run would assert the same equality
+    transitively at twice the cost)."""
     from mr_crawly_spark.operators import seen as seen_ops
 
     monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
@@ -221,16 +235,8 @@ def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch):
     first.run()
     assert first._cuckoo_sidecar_mode
 
-    resumed = _engine(spark, tiny_corpus, wh, max_rounds=100,
-                      use_cuckoo=True, bloom_buckets=4,
-                      bloom_expected_n=4096, checkpoint_interval=1)
+    resumed = _engine(spark, tiny_corpus, wh, max_rounds=100, **cfg)
     assert resumed.resume()
     resumed.run(fresh=False)
     assert resumed._cuckoo_sidecar_mode
-
-    baseline = _engine(
-        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_scb_"),
-        max_rounds=100, **cfg,
-    )
-    baseline.run()
-    assert _final_state(resumed) == _final_state(baseline)
+    assert _final_state(resumed) == exact_state
