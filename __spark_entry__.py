@@ -679,6 +679,30 @@ def q_bm25(spark, sf_dir):
     return bm25_scores(docs, ["spark", "vector", "scan", "dup"])
 
 
+# a large anchor-term set for the exploded BM25 shape (> BM25_MAX_TERMS=32,
+# where the per-term-column shape refuses): 29 corpus-vocabulary terms + 7
+# absent ones (df=0 terms must contribute nothing on both engines)
+BM25_LONG_TERMS = [
+    "spark", "scan", "join", "merge", "sort", "filter", "window", "batch",
+    "stream", "group", "query", "row", "data", "table", "hash", "key",
+    "agg", "line", "column", "value", "customer", "part", "order", "small",
+    "big", "fast", "slow", "dup", "vector",
+    "qq0", "qq1", "qq2", "qq3", "qq4", "qq5", "qq6",
+]
+
+
+def q_bm25_long(spark, sf_dir):
+    """BM25 with a LARGE term set via the explode/aggregate shape (r4
+    verdict #4's restructure): plan size constant in the term count — 36
+    terms here, where bm25_scores' per-term-column shape is refused. Three
+    partial-aggregated shuffles at any corpus size; idf folds into a
+    literal map from KB-sized collected term stats."""
+    from mr_crawly_spark.operators.curation import bm25_scores_exploded
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores_exploded(docs, BM25_LONG_TERMS)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling (downsample boilerplate-heavy
     strata, keep rare high-quality ones): same md5-threshold draw as
@@ -861,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_det": q_sample_deterministic,
         "sample_strat": q_sample_stratified,
         "bm25": q_bm25,
+        "bm25_long": q_bm25_long,
         "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1240,6 +1265,34 @@ def oracle_sql() -> dict[str, str]:
                          for i in range(4)
                      )}, 4) AS bm25
             FROM d, c
+        """,
+        "bm25_long": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ),
+            d AS (SELECT doc_id, len(w) AS dl, w FROM t),
+            c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+            toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM toks
+              WHERE term IN ({", ".join(f"'{t}'" for t in BM25_LONG_TERMS)})
+              GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(ln((c.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / c.avgdl))
+                     ) AS s
+              FROM tf JOIN dfreq USING (term), c
+              GROUP BY tf.doc_id
+            )
+            SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS bm25
+            FROM d LEFT JOIN sc USING (doc_id)
         """,
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,

@@ -132,7 +132,8 @@ def bm25_scores(
         raise ValueError(
             f"bm25_scores got {len(query_terms)} query terms; the per-term "
             f"column shape is bounded at {BM25_MAX_TERMS} (wide-plan "
-            "degeneracy past that) — split the query or reduce its terms"
+            "degeneracy past that) — use bm25_scores_exploded, whose plan "
+            "size is constant in the term count"
         )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
@@ -174,6 +175,94 @@ def bm25_scores(
             tf * F.lit(k1 + 1.0)
         ) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)))
     return d.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+
+
+def bm25_scores_exploded(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """bm25_scores for LARGE query-term sets (r4 verdict #4's restructure):
+    identical semantics, but the term set never widens the plan — plan size
+    is CONSTANT in the number of terms, so hundreds/thousands of anchor
+    terms stay analyzable where the per-term-column shape degenerates.
+
+    Shape: tokenize once → explode → filter to the term set (an isin over
+    the literal list; the filter discards the non-query tokens BEFORE the
+    shuffle) → tf = one map-side-combined count per (doc, term) → per-term
+    document frequencies collected (≤ |terms| rows, KBs) and folded with
+    the corpus stats into a literal idf MAP → per-doc score is one more
+    combined sum, left-joined back so termless docs score 0.0. Three
+    shuffles total at any corpus size, all partial-aggregated; no joins
+    against anything bigger than the doc list itself.
+
+    Returns (id_col, bm25 double rounded to 4) for every document —
+    the same contract as bm25_scores."""
+    import math
+
+    terms = sorted(set(query_terms))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_dl", F.size("_t")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    ).first()
+    n = float(stats["n"])
+    if n == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        empty_schema = StructType(
+            [docs.schema[id_col], StructField("bm25", DoubleType())]
+        )
+        return docs.sparkSession.createDataFrame([], empty_schema)
+    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+    tf = (
+        d.select(F.col(id_col), F.col("_dl"), F.explode("_t").alias("_term"))
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_dl", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    # per-term document frequency: <= |terms| rows — KB driver metadata,
+    # the same class as bm25_scores' 1-row stats agg / IVF centroids
+    dfreq = {
+        r["_term"]: int(r["_n"])
+        for r in tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    idf = {
+        t: math.log((n - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5) + 1.0)
+        for t in terms
+    }
+    idf_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    # identical double op ORDER to bm25_scores (and the DuckDB oracle):
+    # idf * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))
+    contrib = (
+        idf_map[F.col("_term")]
+        * (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+        )
+    )
+    scores = (
+        tf.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_s"))
+    )
+    return (
+        d.select(F.col(id_col))
+        .join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 4).alias("bm25"),
+        )
+    )
 
 
 def stratified_sample(
