@@ -703,6 +703,57 @@ def q_bm25_long(spark, sf_dir):
     return bm25_scores_exploded(docs, BM25_LONG_TERMS)
 
 
+# planted high-repetition docs for the Gopher-style filters: 60 tokens of a
+# 2-token loop -> dup_token_frac ~0.97, top_bigram_frac 1.0 (every natural
+# doc sits far below both) — keeps the keep/drop split non-vacuous
+REPETITION_PLANT = ("spam ham " * 30).strip()
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1) over documents
+    plus 20 planted loop-texts: duplicate-token / duplicate-trigram /
+    top-bigram-coverage fractions and the keep verdict. The fractions are
+    int/int doubles (bit-exact vs DuckDB); the only shuffles are the
+    map-side-combined per-(doc,bigram) count and the per-doc max."""
+    from mr_crawly_spark.operators.curation import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+            F.lit(REPETITION_PLANT).alias("text"),
+        )
+    )
+    return repetition_stats(docs.unionByName(planted))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (CCNet-style perplexity proxy): mean
+    per-token log-probability under the corpus's own unigram distribution.
+    The vocabulary stays distributed (only the scalar token total reaches
+    the driver); the oracle recomputes the distribution independently in
+    DuckDB."""
+    from mr_crawly_spark.operators.curation import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened corpus mixing (Conneau & Lample 2019,
+    q_s ~ p_s^alpha at alpha=0.5): deterministically downsample dominant
+    languages and upweight rare ones to a ~50% target mixture. The draw is
+    the same md5 threshold as sample_det; the oracle recomputes the
+    stratum weights from scratch in SQL."""
+    from mr_crawly_spark.operators.curation import temperature_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_sample(
+        docs, "lang", "doc_id", alpha=0.5, target_frac=0.5, salt="mix"
+    ).select("doc_id", "lang")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling (downsample boilerplate-heavy
     strata, keep rare high-quality ones): same md5-threshold draw as
@@ -886,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strat": q_sample_stratified,
         "bm25": q_bm25,
         "bm25_long": q_bm25_long,
+        "repetition": q_repetition,
+        "unigram_logprob": q_unigram_logprob,
+        "temperature_mix": q_temperature_mix,
         "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1293,6 +1347,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS bm25
             FROM d LEFT JOIN sc USING (doc_id)
+        """,
+        "repetition": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     '{REPETITION_PLANT}' AS text
+              FROM documents WHERE doc_id < 20
+            ),
+            t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM base
+            ),
+            d AS (SELECT doc_id, w, len(w) AS n FROM t),
+            scan AS (
+              SELECT doc_id, n,
+                     1.0 - len(list_distinct(w)) / n AS dtok,
+                     CASE WHEN n >= 3 THEN 1.0 - len(list_distinct(
+                         list_transform(range(1, n - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       )) / (n - 2) ELSE 0.0 END AS dtri
+              FROM d
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, n),
+                         i -> w[i] || ' ' || w[i+1])) AS g
+              FROM d WHERE n >= 2
+            ),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            topbg AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY 1)
+            SELECT s.doc_id, s.n::BIGINT AS n_tokens,
+                   round(s.dtok, 4) AS dup_token_frac,
+                   round(s.dtri, 4) AS dup_trigram_frac,
+                   round(least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)), 4)
+                       AS top_bigram_frac,
+                   (s.dtok <= 0.8 AND s.dtri <= 0.25
+                    AND least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)) <= 0.18)
+                       AS keep
+            FROM scan s LEFT JOIN topbg tb USING (doc_id)
+        """,
+        "unigram_logprob": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents
+            ),
+            d AS (SELECT doc_id, len(w) AS n, w FROM t),
+            tok AS (SELECT doc_id, n, unnest(w) AS term FROM d),
+            tf AS (
+              SELECT doc_id, n, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3
+            ),
+            vocab AS (SELECT term, sum(tf)::DOUBLE AS cnt FROM tf GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS t FROM vocab)
+            SELECT tf.doc_id, tf.n::BIGINT AS n_tokens,
+                   round(sum(tf.tf * (ln(vocab.cnt) - ln(tot.t))) / tf.n, 4)
+                       AS avg_logprob
+            FROM tf JOIN vocab USING (term), tot
+            GROUP BY tf.doc_id, tf.n
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT lang AS s, count(*)::DOUBLE AS c
+              FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT sum(c) AS n FROM c),
+            p AS (SELECT s, c, pow(c / n, 0.5) AS pw FROM c, tot),
+            z AS (SELECT sum(pw) AS z FROM p),
+            q AS (
+              SELECT s,
+                     round(least(1.0, pw / z * 0.5 * n / c) * 1000000)::BIGINT
+                         AS thr
+              FROM p, z, tot
+            )
+            SELECT d.doc_id, d.lang FROM documents d JOIN q ON d.lang = q.s
+            WHERE ('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 < q.thr
         """,
         "token_count_bpe": f"""
             SELECT doc_id, {n_tok}::BIGINT AS n_tokens_ws,

@@ -284,3 +284,199 @@ def stratified_sample(
     default = F.lit(int(default_fraction * SAMPLE_MOD))
     thr = thr.otherwise(default) if thr is not None else default
     return df.filter(sample_hash_col(F.col(key_col), salt) < thr)
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_frac: float = 0.8,
+    max_dup_trigram_frac: float = 0.25,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
+    dominated by repeated fragments (boilerplate, keyword stuffing, decode
+    loops) are low-value training data. Per document:
+
+    - ``dup_token_frac``   = 1 - distinct_tokens / n_tokens
+    - ``dup_trigram_frac`` = 1 - distinct_trigrams / n_trigrams
+    - ``top_bigram_frac``  = tokens covered by the single most frequent
+      bigram / n_tokens
+    - ``keep``             = all three below their thresholds
+
+    Scale shape: the token/trigram fractions are scan-only array
+    expressions (whole-stage codegen, zero shuffles). The top-bigram pass
+    is explode -> ONE map-side-combined count per (doc, bigram) -> per-doc
+    max -> doc-keyed join back; hot documents cannot skew a partition
+    because the bigram count collapses map-side before either shuffle.
+    All ratios are int/int doubles, so Spark and the DuckDB oracle agree
+    bit-exactly. Docs with fewer than 2 (3) tokens define the bigram
+    (trigram) fraction as 0.0."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+
+    def grams(width: int):
+        idx = F.sequence(F.lit(1), F.col("_n") - (width - 1))
+        mk = lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_t"), i + j) for j in range(width)]
+        )
+        return F.when(
+            F.col("_n") >= width, F.transform(idx, mk)
+        ).otherwise(F.array().cast("array<string>"))
+
+    scan = d.select(
+        F.col(id_col),
+        F.col("_n"),
+        (1.0 - F.size(F.array_distinct("_t")) / F.col("_n")).alias("_dtok"),
+        F.when(
+            F.col("_n") >= 3,
+            1.0 - F.size(F.array_distinct(grams(3))) / (F.col("_n") - 2),
+        ).otherwise(F.lit(0.0)).alias("_dtri"),
+    )
+    top_bigram = (
+        d.select(F.col(id_col), F.explode(grams(2)).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_maxbg"))
+    )
+    out = scan.join(top_bigram, id_col, "left")
+    # capped at 1: self-overlapping repeats ("a a a a") count each token in
+    # several bigram instances, so raw coverage can exceed the doc length
+    top_frac = F.least(
+        F.lit(1.0),
+        F.coalesce(2.0 * F.col("_maxbg") / F.col("_n"), F.lit(0.0)),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round("_dtok", 4).alias("dup_token_frac"),
+        F.round("_dtri", 4).alias("dup_trigram_frac"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        (
+            (F.col("_dtok") <= max_dup_token_frac)
+            & (F.col("_dtri") <= max_dup_trigram_frac)
+            & (top_frac <= max_top_bigram_frac)
+        ).alias("keep"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model score — the cheap perplexity proxy used to
+    rank crawl text against its own corpus distribution (CCNet-style,
+    Wenzek et al. 2020, with the corpus itself as the LM): per document,
+    the mean log-probability of its tokens under the corpus unigram
+    distribution. Unusually low scores flag gibberish / rare-token spam;
+    unusually high ones flag boilerplate.
+
+    Scale shape: corpus vocabulary counts are ONE explode + map-side-
+    combined groupBy (the vocabulary stays distributed — never collected;
+    only the scalar total-token count reaches the driver). Per-doc term
+    frequencies are a second combined groupBy, joined to the vocabulary on
+    the token — a key whose heaviest value (the most common token) is
+    already collapsed to one row per doc by the tf aggregation, so the
+    join cannot skew. Output: (id_col, n_tokens, avg_logprob)."""
+    import math
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    tok = d.select(F.col(id_col), F.col("_n"), F.explode("_t").alias("_w"))
+    tf = tok.groupBy(id_col, "_n", "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    vocab = tf.groupBy("_w").agg(F.sum("_tf").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("t")).first()["t"]
+    if not total:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    docs.schema[id_col],
+                    StructField("n_tokens", LongType()),
+                    StructField("avg_logprob", DoubleType()),
+                ]
+            ),
+        )
+    ln_total = float(math.log(float(total)))
+    contrib = F.col("_tf") * (F.log(F.col("_cnt").cast("double")) - F.lit(ln_total))
+    return (
+        tf.join(vocab, "_w")
+        .groupBy(id_col, "_n")
+        .agg(F.sum(contrib).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.round(F.col("_s") / F.col("_n"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def temperature_mix_weights(
+    counts: dict[str, int], alpha: float, target_frac: float
+) -> dict[str, float]:
+    """Per-stratum keep probabilities for temperature-flattened corpus
+    mixing (the multilingual-LM sampling rule, Conneau & Lample 2019:
+    q_s ~ p_s^alpha): alpha < 1 upweights rare strata (languages, domains)
+    and downweights dominant ones, and target_frac scales the expected
+    output to that fraction of the corpus. Probabilities are capped at 1
+    (sampling never replicates rows; the cap shifts mass to the remaining
+    strata nowhere — document-level upsampling is a separate concern).
+
+    Driver-side by design: the strata table is the MIXING CONFIG
+    (languages / top-level domains / source buckets — thousands at most),
+    the same KB-sized driver-metadata class as IVF centroids and the BM25
+    term stats; the document table itself never leaves the executors."""
+    n_total = float(sum(counts.values()))
+    if n_total == 0:
+        return {}
+    powed = {s: (c / n_total) ** alpha for s, c in counts.items()}
+    z = sum(powed.values())
+    return {
+        s: min(1.0, powed[s] / z * target_frac * n_total / counts[s])
+        for s in counts
+    }
+
+
+def temperature_mix_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically sample ``docs`` to a temperature-flattened
+    stratum mixture: keep probabilities from temperature_mix_weights, the
+    per-row draw the same md5 threshold as deterministic_sample — RNG-free,
+    so reruns, resumes, and any partitioning produce the identical sample.
+    One map-side-combined count per stratum (KB to the driver, see
+    temperature_mix_weights), then a scan-only filter — no extra shuffle
+    on the documents."""
+    counts = {
+        r[stratum_col]: r["c"]
+        for r in docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    q = temperature_mix_weights(counts, alpha, target_frac)
+    thr = None
+    for s, p in sorted(q.items()):
+        # round-to-nearest (not truncation): the oracle recomputes q with
+        # its own libm, and int(round()) only disagrees when q*MOD sits
+        # within an ulp of x.5 — truncation would flip on ANY ulp drift
+        # across an integer boundary
+        lit = F.lit(int(round(p * SAMPLE_MOD)))
+        cond = F.col(stratum_col) == s
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    if thr is None:
+        return docs.filter(F.lit(False))
+    return docs.filter(sample_hash_col(F.col(key_col), salt) < thr.otherwise(F.lit(0)))

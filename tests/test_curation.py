@@ -202,3 +202,91 @@ def test_bm25_exploded_handles_64_terms(spark):
         ).collect()
     }
     assert set(got) == {1, 2} and got[1] > 0 and got[2] > 0
+
+
+def test_repetition_stats_hand_values(spark):
+    """Known fractions on hand docs, including the self-overlap cap."""
+    from mr_crawly_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; bigram 'a a' x3
+            (2, "w x y z"),          # all distinct, no repeats
+            (3, "ab cd ab cd ab"),   # loop: bigrams 'ab cd' x2, 'cd ab' x2
+            (4, "solo"),             # 1 token: gram fracs defined as 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == 1.0  # capped (raw 2*3/4 = 1.5)
+    assert got[1]["dup_trigram_frac"] == 0.5  # 'a a a' twice
+    assert not got[1]["keep"]
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.5  # every bigram unique: 2*1/4
+    assert not got[2]["keep"]  # top-bigram 0.5 > 0.18 on a 4-token doc
+    assert got[3]["top_bigram_frac"] == 0.8  # 2*2/5
+    assert got[4] == {
+        "doc_id": 4, "n_tokens": 1, "dup_token_frac": 0.0,
+        "dup_trigram_frac": 0.0, "top_bigram_frac": 0.0, "keep": True,
+    }
+
+
+def test_unigram_logprob_hand_values(spark):
+    """Uniform two-token vocabulary: every token has p=1/2, so every doc's
+    mean log-prob is ln(1/2) regardless of length."""
+    import math
+
+    from mr_crawly_spark.operators.curation import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    expect = round(math.log(0.5), 4)
+    assert got == {1: expect, 2: expect}
+
+
+def test_unigram_logprob_empty(spark):
+    from mr_crawly_spark.operators.curation import unigram_logprob
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_logprob(docs).count() == 0
+
+
+def test_temperature_mix_weights_flatten():
+    """alpha=0.5 boosts the rare stratum's keep rate by the theoretical
+    sqrt ratio, and an aggressive target caps probabilities at 1."""
+    from mr_crawly_spark.operators.curation import temperature_mix_weights
+
+    # target_frac low enough that neither stratum hits the p=1 cap
+    q = temperature_mix_weights({"en": 90, "zh": 10}, alpha=0.5, target_frac=0.3)
+    # q_zh / q_en = (p_zh/p_en)^alpha * (n_en/n_zh) = 3 for alpha=0.5
+    assert abs(q["zh"] / q["en"] - 3.0) < 1e-12
+    assert q["zh"] < 1.0
+    capped = temperature_mix_weights({"en": 9, "zh": 1}, alpha=0.0, target_frac=1.0)
+    assert capped["zh"] == 1.0  # alpha=0 wants 50/50 but can't upsample
+    assert temperature_mix_weights({}, 0.5, 0.5) == {}
+
+
+def test_temperature_mix_sample_partition_invariant(spark):
+    """The md5 draw makes the sample a pure function of the rows: any
+    repartitioning yields the identical kept set."""
+    from mr_crawly_spark.operators.curation import temperature_mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 10 else "zh") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(docs, "lang", "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(
+            docs.repartition(13), "lang", "doc_id"
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < 300
