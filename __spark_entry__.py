@@ -725,7 +725,11 @@ def q_repetition(spark, sf_dir):
             F.lit(REPETITION_PLANT).alias("text"),
         )
     )
-    return repetition_stats(docs.unionByName(planted))
+    # keep cast to int: the driver's value-hash has no boolean precedent
+    # across the 49 existing entries, so don't make it the first
+    return repetition_stats(docs.unionByName(planted)).withColumn(
+        "keep", F.col("keep").cast("bigint")
+    )
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -1384,8 +1388,8 @@ def oracle_sql() -> dict[str, str]:
                    round(least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)), 4)
                        AS top_bigram_frac,
                    (s.dtok <= 0.8 AND s.dtri <= 0.25
-                    AND least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)) <= 0.18)
-                       AS keep
+                    AND least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)) <= 0.18
+                   )::BIGINT AS keep
             FROM scan s LEFT JOIN topbg tb USING (doc_id)
         """,
         "unigram_logprob": """

@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "simhash16",
     "neardup_jaccard",
     "cosine_topk",
+    # round 5: curation additions (keys are additive — earlier rounds'
+    # per-query numbers stay comparable)
+    "bm25",
+    "repetition",
+    "unigram_logprob",
 ]
 
 

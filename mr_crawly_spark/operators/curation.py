@@ -380,7 +380,11 @@ def unigram_logprob(
     frequencies are a second combined groupBy, joined to the vocabulary on
     the token — a key whose heaviest value (the most common token) is
     already collapsed to one row per doc by the tf aggregation, so the
-    join cannot skew. Output: (id_col, n_tokens, avg_logprob)."""
+    join cannot skew. Both join sides derive from the same tf lineage, so
+    the unpersisted plan recomputes the explode+groupBy once per side —
+    at corpus scale, checkpoint ``docs`` (or the returned frame) the way
+    the engine checkpoints its per-round frames rather than caching inside
+    this operator. Output: (id_col, n_tokens, avg_logprob)."""
     import math
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
