@@ -758,6 +758,44 @@ def q_temperature_mix(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Round-5 composed curation pass: Gopher repetition gate AND
+    unigram-LM band (rounded avg_logprob >= -3.41 drops the gibberish
+    tail, ~10% of this corpus) AND exact-dedup keeper (clones of every
+    17th doc planted so the stage provably removes rows), then
+    temperature-flattened language mixing over the GATED set. Every stage
+    is individually oracled; this entry proves they compose — including
+    that the mixture weights derive from post-gate strata counts on both
+    engines. All gates compare values both engines produce bit-exactly
+    (int/int fractions, 4-decimal-rounded scores, md5 draws)."""
+    from mr_crawly_spark.operators.curation import (
+        repetition_stats,
+        temperature_mix_sample,
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "text", "lang"
+    )
+    base = docs.unionByName(clones)
+    rep_keep = repetition_stats(base).filter(F.col("keep")).select("doc_id")
+    lp = (
+        unigram_logprob(base)
+        .filter(F.col("avg_logprob") >= -3.41)
+        .select("doc_id", "avg_logprob")
+    )
+    keepers = D.exact_dedup(base).select(F.col("keeper_id").alias("doc_id"))
+    gated = base.join(rep_keep, "doc_id").join(lp, "doc_id").join(
+        keepers, "doc_id"
+    )
+    return temperature_mix_sample(
+        gated, "lang", "doc_id", alpha=0.5, target_frac=0.6, salt="pipe"
+    ).select("doc_id", "lang", "avg_logprob")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling (downsample boilerplate-heavy
     strata, keep rare high-quality ones): same md5-threshold draw as
@@ -944,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "curation_pipeline": q_curation_pipeline,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1427,6 +1466,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang FROM documents d JOIN q ON d.lang = q.s
             WHERE ('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 < q.thr
+        """,
+        "curation_pipeline_v2": f"""
+            WITH base AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text, lang
+              FROM documents WHERE doc_id % 17 = 0
+            ),
+            t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM base
+            ),
+            d AS (SELECT doc_id, w, len(w) AS n FROM t),
+            scan AS (
+              SELECT doc_id, n,
+                     1.0 - len(list_distinct(w)) / n AS dtok,
+                     CASE WHEN n >= 3 THEN 1.0 - len(list_distinct(
+                         list_transform(range(1, n - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       )) / (n - 2) ELSE 0.0 END AS dtri
+              FROM d
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, n),
+                         i -> w[i] || ' ' || w[i+1])) AS g
+              FROM d WHERE n >= 2
+            ),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            topbg AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY 1),
+            repkeep AS (
+              SELECT s.doc_id
+              FROM scan s LEFT JOIN topbg tb USING (doc_id)
+              WHERE s.dtok <= 0.8 AND s.dtri <= 0.25
+                AND least(1.0, coalesce(2.0 * tb.mx / s.n, 0.0)) <= 0.18
+            ),
+            tok AS (SELECT doc_id, n, unnest(w) AS term FROM d),
+            tf AS (
+              SELECT doc_id, n, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2, 3
+            ),
+            vocab AS (SELECT term, sum(tf)::DOUBLE AS cnt FROM tf GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS t FROM vocab),
+            lp AS (
+              SELECT tf.doc_id,
+                     round(sum(tf.tf * (ln(vocab.cnt) - ln(tot.t))) / tf.n, 4)
+                         AS avg_logprob
+              FROM tf JOIN vocab USING (term), tot
+              GROUP BY tf.doc_id, tf.n
+            ),
+            lpk AS (
+              SELECT doc_id, avg_logprob FROM lp WHERE avg_logprob >= -3.41
+            ),
+            keep2 AS (
+              SELECT min(doc_id) AS doc_id FROM base GROUP BY {fp}
+            ),
+            gated AS (
+              SELECT b.doc_id, b.lang, lpk.avg_logprob
+              FROM base b
+              JOIN repkeep USING (doc_id)
+              JOIN lpk USING (doc_id)
+              JOIN keep2 USING (doc_id)
+            ),
+            c AS (SELECT lang AS s, count(*)::DOUBLE AS c FROM gated GROUP BY 1),
+            tot2 AS (SELECT sum(c) AS n FROM c),
+            p AS (SELECT s, c, pow(c / n, 0.5) AS pw FROM c, tot2),
+            z AS (SELECT sum(pw) AS z FROM p),
+            q AS (
+              SELECT s,
+                     round(least(1.0, pw / z * 0.6 * n / c) * 1000000)::BIGINT
+                         AS thr
+              FROM p, z, tot2
+            )
+            SELECT g.doc_id, g.lang, g.avg_logprob
+            FROM gated g JOIN q ON g.lang = q.s
+            WHERE ('0x' || substr(md5('pipe|' || g.doc_id::VARCHAR), 1, 15))::BIGINT
                   % 1000000 < q.thr
         """,
         "token_count_bpe": f"""
