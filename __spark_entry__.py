@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from mr_crawly_spark.functions import pii as PII
 from mr_crawly_spark.functions import text as T
 from mr_crawly_spark.operators import dedup as D
 from mr_crawly_spark.operators import multimodal as MM
@@ -407,6 +408,128 @@ def q_curation_pipeline(spark, sf_dir):
     )
     return deterministic_sample(chunks, 0.5, "chunk_key", salt="chunks").select(
         "doc_id", "chunk_index", "chunk_text", "n_tokens"
+    )
+
+
+def _pii_planted_docs(spark, sf_dir):
+    """documents with deterministic PII planted on every 7th doc (email +
+    phone + IPv4 derived from doc_id, identical expression in the oracle),
+    so the counts/redaction check is non-vacuous on synthetic text."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" Contact user"), s(did), F.lit("@example.com or 555-"),
+                s(did % 900 + 100), F.lit("-"), s(did % 9000 + 1000),
+                F.lit(" at 10."), s(did % 256), F.lit("."), s(did % 100),
+                F.lit("."), s(did % 250), F.lit(" now."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII counting + redaction (functions/pii.py): scan-only JVM regex
+    work — zero shuffles at any corpus size; the hash check covers the full
+    redacted text, not just the counts."""
+    from mr_crawly_spark.functions import pii as PII
+
+    d = _pii_planted_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        PII.email_count(F.col("text")).alias("n_emails"),
+        PII.phone_count(F.col("text")).alias("n_phones"),
+        PII.ipv4_count(F.col("text")).alias("n_ips"),
+        PII.pii_count(F.col("text")).alias("n_pii"),
+        PII.redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): corpus docs are
+    scored by 4-gram overlap against a benchmark slice (doc_id % 17 == 3);
+    planted leaks (benchmark texts re-inserted as doc_id + 10^9) make the
+    known-positive rows contam_frac == 1. Broadcast benchmark side — the
+    corpus is never shuffled, only (doc_id, counts)."""
+    from mr_crawly_spark.operators.decontam import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 3)
+    leaked = benchmark.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    corpus = docs.filter(F.col("doc_id") % 17 != 3).unionByName(leaked)
+    return ngram_contamination(corpus, benchmark, n=4)
+
+
+def q_dup_ngrams(spark, sf_dir):
+    """Exact-substring duplication signal (operators/decontam.py): per-doc
+    fraction of distinct 4-grams occurring in >= 2 docs; planted verbatim
+    copies (every 10th doc at doc_id + 10^9) have dup_frac == 1."""
+    from mr_crawly_spark.operators.decontam import duplicated_ngram_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10**9)
+    )
+    return duplicated_ngram_fraction(docs.unionByName(planted), n=4)
+
+
+def q_url_quality(spark, sf_dir):
+    """URL quality/spam gate (functions/urls.py URL feature columns): URLs
+    are synthesized deterministically from doc_id (hosts h0..h49, depth and
+    query-string mix, every 13th URL gets a spam token), scored scan-only,
+    and gated against a genuinely-joined host blocklist (every 11th host) —
+    the pre-fetch frontier filter a 10^10-URL crawl runs before spending a
+    fetch on a URL."""
+    from mr_crawly_spark.functions import urls as U
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 50).cast("string"), F.lit(".test/"),
+        F.expr("repeat('d/', CAST(doc_id % 9 AS INT))"),
+        F.lit("p"), did.cast("string"),
+        F.when(did % 13 == 0, F.lit("-casino")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("?a=1&b=2&c=3&d=4"))
+        .when(did % 4 == 1, F.concat(F.lit("?x="), did.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.concat(F.lit("h"), (did % 50).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+    )
+    blocklist = (
+        docs.select((did % 50).alias("k"))
+        .distinct()
+        .filter(F.col("k") % 11 == 0)
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            F.lit(True).alias("_blocked"),
+        )
+    )
+    u = F.col("url")
+    return (
+        base.join(F.broadcast(blocklist), "host", "left")
+        .select(
+            "doc_id",
+            "url",
+            U.url_len_col(u).alias("url_len"),
+            U.url_digit_ratio_col(u).alias("digit_ratio"),
+            U.url_depth_col(u).alias("depth"),
+            U.url_param_count_col(u).alias("n_params"),
+            U.url_spam_flag_col(u).alias("spam"),
+            U.url_quality_col(u).alias("quality"),
+            F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+        )
     )
 
 
@@ -984,6 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "curation_pipeline": q_curation_pipeline,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "dup_ngrams": q_dup_ngrams,
+        "url_quality": q_url_quality,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1025,6 +1152,21 @@ def oracle_sql() -> dict[str, str]:
     )
     shingle_list = (
         "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+    )
+    # 4-gram variant (decontamination / exact-substring dedup entries)
+    shingle4_list = (
+        "list_transform(range(1, len(w) - 2),"
+        " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])"
+    )
+    # deterministic planted PII (q_pii_redact builds the same expression)
+    pii_text = (
+        "text || (CASE WHEN doc_id % 7 = 0 THEN"
+        " ' Contact user' || doc_id::VARCHAR || '@example.com or 555-'"
+        " || (doc_id % 900 + 100)::VARCHAR || '-'"
+        " || (doc_id % 9000 + 1000)::VARCHAR"
+        " || ' at 10.' || (doc_id % 256)::VARCHAR || '.'"
+        " || (doc_id % 100)::VARCHAR || '.' || (doc_id % 250)::VARCHAR"
+        " || ' now.' ELSE '' END)"
     )
     stop_ratio = (
         f"round(len(list_filter({toks}, t -> list_contains({STOP_SQL}, t)))"
@@ -1614,6 +1756,107 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('chunks|' || doc_id::VARCHAR || ':'
                                       || chunk_index::VARCHAR), 1, 15))::BIGINT
                   % 1000000 < 500000
+        """,
+        "pii_redact": f"""
+            WITH d AS (SELECT doc_id, {pii_text} AS text FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{PII.EMAIL_RE}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{PII.PHONE_RE}'))::BIGINT
+                       AS n_phones,
+                   len(regexp_extract_all(text, '{PII.IPV4_RE}'))::BIGINT
+                       AS n_ips,
+                   (len(regexp_extract_all(text, '{PII.EMAIL_RE}'))
+                    + len(regexp_extract_all(text, '{PII.PHONE_RE}'))
+                    + len(regexp_extract_all(text, '{PII.IPV4_RE}')))::BIGINT
+                       AS n_pii,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII.PHONE_RE}', '<PHONE>', 'g'),
+                       '{PII.IPV4_RE}', '<IP>', 'g') AS redacted
+            FROM d
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({shingle4_list}) AS sh
+              FROM (SELECT {toks} AS w FROM documents WHERE doc_id % 17 = 3)
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM documents WHERE doc_id % 17 = 3
+            ),
+            corp AS (
+              SELECT DISTINCT doc_id, unnest({shingle4_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM corpus)
+            )
+            SELECT c.doc_id, count(*)::BIGINT AS n_ngrams,
+                   count(b.sh)::BIGINT AS n_contaminated,
+                   round(count(b.sh) / count(*), 4) AS contam_frac
+            FROM corp c LEFT JOIN bench b ON c.sh = b.sh
+            GROUP BY c.doc_id
+        """,
+        "dup_ngrams": f"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest({shingle4_list}) AS sh
+              FROM (SELECT doc_id, {toks} AS w FROM docs2)
+            ),
+            hs AS (
+              SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh_h
+              FROM sh
+            ),
+            dfreq AS (SELECT sh_h, count(*) AS _df FROM hs GROUP BY sh_h)
+            SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                   sum(CASE WHEN _df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                   round(sum(CASE WHEN _df >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 4) AS dup_frac
+            FROM hs JOIN dfreq USING (sh_h)
+            GROUP BY doc_id
+        """,
+        "url_quality": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % 50)::VARCHAR || '.test/'
+                     || repeat('d/', (doc_id % 9)::INT)
+                     || 'p' || doc_id::VARCHAR
+                     || (CASE WHEN doc_id % 13 = 0 THEN '-casino' ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2&c=3&d=4'
+                              WHEN doc_id % 4 = 1 THEN '?x=' || doc_id::VARCHAR
+                              ELSE '' END) AS url
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, url,
+                     length(url)::BIGINT AS url_len,
+                     round(length(regexp_replace(url, '[^0-9]', '', 'g'))
+                           / greatest(length(url), 1), 4) AS digit_ratio,
+                     (length(url) - length(replace(url, '/', '')) - 2)::BIGINT
+                         AS depth,
+                     (CASE WHEN contains(url, '?')
+                           THEN len(string_split(split_part(url, '?', 2), '&'))
+                           ELSE 0 END)::BIGINT AS n_params,
+                     (contains(lower(url), 'casino')
+                      OR contains(lower(url), 'viagra')
+                      OR contains(lower(url), 'free-money')
+                      OR contains(lower(url), 'xxx-')) AS spam
+              FROM u
+            )
+            SELECT doc_id, url, url_len, digit_ratio, depth, n_params, spam,
+                   round(((CASE WHEN url_len > 120 THEN 0.5 ELSE 1.0 END)
+                          * (CASE WHEN digit_ratio > 0.3 THEN 0.6 ELSE 1.0 END)
+                          * (CASE WHEN depth > 6 THEN 0.7 ELSE 1.0 END)
+                          * (CASE WHEN n_params > 3 THEN 0.7 ELSE 1.0 END)
+                          * (CASE WHEN spam THEN 0.1 ELSE 1.0 END))::DOUBLE, 4)
+                       AS quality,
+                   ((doc_id % 50) % 11 = 0) AS blocked
+            FROM f
         """,
         "minhash": f"""
             WITH sh AS (

@@ -132,3 +132,67 @@ def url_host_col(url: Column) -> Column:
 def url_path_col(url: Column) -> Column:
     """Path component (for robots prefix matching)."""
     return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+
+
+# ---- URL quality / spam features (training-data pipeline brief) -------- #
+# All plain string functions shared with DuckDB (no parse_url — the oracle
+# must recompute these on the same strings), so every feature is codegen'd
+# JVM work and has an exact SQL twin. A crawl frontier at 10^10 URLs gates
+# on these BEFORE fetching: features are scan-only (zero shuffles).
+
+URL_SPAM_TOKENS = ["casino", "viagra", "free-money", "xxx-"]
+
+
+def url_len_col(url: Column) -> Column:
+    return F.length(url).cast("bigint")
+
+
+def url_digit_ratio_col(url: Column) -> Column:
+    """Digits / total chars — high ratios flag machine-generated URLs."""
+    n_digits = F.length(F.regexp_replace(url, r"[^0-9]", ""))
+    return F.round(n_digits / F.greatest(F.length(url), F.lit(1)), 4)
+
+
+def url_depth_col(url: Column) -> Column:
+    """Path depth = '/' count minus the scheme's two — deep paths correlate
+    with calendar/faceted-navigation traps."""
+    return (
+        F.length(url) - F.length(F.replace(url, F.lit("/"), F.lit(""))) - 2
+    ).cast("bigint")
+
+
+def url_param_count_col(url: Column) -> Column:
+    """Query-parameter count ('?' then 1 + '&' count); 0 when no query."""
+    return (
+        F.when(
+            F.instr(url, "?") > 0,
+            F.size(F.split(F.substring_index(url, "?", -1), "&")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
+def url_spam_flag_col(url: Column) -> Column:
+    """Any spam token present (case-insensitive)."""
+    hit = None
+    for tok in URL_SPAM_TOKENS:
+        c = F.contains(F.lower(url), F.lit(tok))
+        hit = c if hit is None else (hit | c)
+    return hit
+
+
+def url_quality_col(url: Column) -> Column:
+    """Composite in [0,1]: each risk factor multiplies a penalty — the
+    frontier keeps url_quality >= threshold (cheap pre-fetch gate)."""
+    q = F.lit(1.0)
+    q = q * F.when(url_len_col(url) > 120, F.lit(0.5)).otherwise(F.lit(1.0))
+    q = q * F.when(url_digit_ratio_col(url) > 0.3, F.lit(0.6)).otherwise(
+        F.lit(1.0)
+    )
+    q = q * F.when(url_depth_col(url) > 6, F.lit(0.7)).otherwise(F.lit(1.0))
+    q = q * F.when(url_param_count_col(url) > 3, F.lit(0.7)).otherwise(
+        F.lit(1.0)
+    )
+    q = q * F.when(url_spam_flag_col(url), F.lit(0.1)).otherwise(F.lit(1.0))
+    return F.round(q, 4)
