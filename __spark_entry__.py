@@ -963,6 +963,67 @@ def q_dedup_clusters_star(spark, sf_dir):
     return D.connected_components_star(both.select("doc_id"), pairs)
 
 
+def q_dedup_e2e(spark, sf_dir):
+    """END-TO-END near-dup deduplication (operators/dedup.py
+    neardup_dedup): MinHash -> LSH band join -> star-contraction closure ->
+    keeper selection, one operator, one oracle. Planted verbatim copies
+    (doc_id + 10^9) must land in their original's cluster with kept=false;
+    every cluster keeps exactly its min id."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    )
+    return D.neardup_dedup(both, n_hashes=8, bands=4, shingle_n=3)
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance scoring (operators/selection.py, Xie et al. 2023):
+    every document scored by the hashed-bigram log-likelihood ratio of a
+    target slice (doc_id % 13 == 1) vs the full corpus. The target slice's
+    own documents must score high (their features define the target
+    distribution) — the oracle recomputes both distributions and the
+    Laplace-smoothed ratio from scratch in SQL."""
+    from mr_crawly_spark.operators.selection import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 13 == 1)
+    return dsir_scores(docs, target, n_buckets=1024, ngram=2)
+
+
+def q_clf_quality(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (operators/selection.py): mean weight of the document's hashed token
+    buckets + sign label. Weights are an INPUT table — here the
+    deterministic stand-in (md5-derived, recomputed independently by the
+    oracle); a real pipeline broadcast-joins trained weights through the
+    identical plan."""
+    from mr_crawly_spark.operators.selection import (
+        deterministic_weights,
+        hashed_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = deterministic_weights(spark, 1024, salt="clf")
+    return hashed_classifier_scores(docs, weights, n_buckets=1024)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup (operators/similarity.py, Abbas et al. 2023): cluster the
+    embedding space (md5-seeded deterministic centroids — the k-means
+    seam), then within each cluster drop vectors with a lower-id neighbor
+    at cosine >= 0.98. Planted identical twins (vec_id + 10^9) share their
+    original's cluster and MUST come back kept=false."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    both = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+    )
+    return SIM.semdedup(both, n_clusters=8, threshold=0.98)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -1133,6 +1194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_edit": q_neardup_edit,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_e2e": q_dedup_e2e,
+        "dsir": q_dsir,
+        "clf_quality": q_clf_quality,
+        "semdedup": q_semdedup,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -1152,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
     )
     shingle_list = (
         "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+    )
+    # bigram variant (DSIR hashed features)
+    shingle2_list = (
+        "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
     )
     # 4-gram variant (decontamination / exact-substring dedup entries)
     shingle4_list = (
@@ -2073,6 +2142,93 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
         """,
+        "dsir": f"""
+            WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+            f AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1024 AS bucket
+              FROM (SELECT doc_id, unnest({shingle2_list}) AS sh FROM d)
+            ),
+            tc AS (SELECT bucket, count(*) AS t_cnt FROM f
+                   WHERE doc_id % 13 = 1 GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS r_cnt FROM f GROUP BY bucket),
+            tt AS (SELECT sum(t_cnt)::DOUBLE AS t FROM tc),
+            rt AS (SELECT sum(r_cnt)::DOUBLE AS r FROM rc),
+            w AS (
+              SELECT rc.bucket,
+                     ln((coalesce(tc.t_cnt, 0) + 1.0) / (tt.t + 1024.0))
+                     - ln((rc.r_cnt + 1.0) / (rt.r + 1024.0)) AS w
+              FROM rc LEFT JOIN tc USING (bucket), tt, rt
+            )
+            SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+                   round(avg(w.w), 4) AS dsir_score
+            FROM f JOIN w USING (bucket)
+            GROUP BY f.doc_id
+        """,
+        "clf_quality": f"""
+            WITH wt AS (
+              SELECT b AS bucket,
+                     round(((('0x' || substr(md5('clf|' || b::VARCHAR), 1, 15))
+                             ::BIGINT % 2001) - 1000) / 1000.0, 4) AS w
+              FROM range(1024) r(b)
+            ),
+            tok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS bucket
+              FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+            ),
+            s AS (
+              -- decimal(20,6) sum is exact -> order-independent, matching
+              -- the Spark side's quantized aggregation bit-for-bit (the
+              -- score is the exact SUM/logit, not a mean: a division's
+              -- halfway cases round differently across engines)
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(sum(coalesce(wt.w, 0)::DECIMAL(20,6))::DOUBLE, 4)
+                         AS clf_score
+              FROM tok LEFT JOIN wt USING (bucket)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, clf_score, clf_score > 0 AS clf_label
+            FROM s
+        """,
+        "semdedup": f"""
+            WITH emb2 AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+              UNION ALL
+              SELECT vec_id + 1000000000 AS vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                       AS idx, v
+              FROM (SELECT vec_id, v FROM emb2
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)
+            ),
+            assigned AS (
+              SELECT vec_id, v, idx AS cluster_id FROM (
+                SELECT e.vec_id, e.v, c.idx,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.v)
+                                  / (sqrt(list_dot_product(c.v, c.v))
+                                     * sqrt(list_dot_product(e.v, e.v))) DESC,
+                                  c.idx ASC
+                       ) AS rn
+                FROM emb2 e CROSS JOIN cent c
+              ) WHERE rn = 1
+            ),
+            dropped AS (
+              SELECT DISTINCT l.vec_id
+              FROM assigned l JOIN assigned r
+                ON l.cluster_id = r.cluster_id AND l.vec_id > r.vec_id
+              WHERE {cos.format(a="l.v", b="r.v")} >= 0.98
+            )
+            SELECT a.vec_id, a.cluster_id::BIGINT AS cluster_id,
+                   (dr.vec_id IS NULL) AS kept
+            FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+        """,
         "embed_neardup": f"""
             WITH emb2 AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2213,4 +2369,13 @@ def oracle_sql() -> dict[str, str]:
     d["ann_lsh_indexed"] = d["ann_lsh"]
     # star contraction computes the SAME components as min-label propagation
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # e2e dedup = the cluster closure + keeper/size annotation (kept = the
+    # cluster's min id, which IS cluster_id by the min-label construction)
+    d["dedup_e2e"] = f"""
+        WITH comp AS ({d["dedup_clusters"]})
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+               (doc_id = cluster_id) AS kept
+        FROM comp
+    """
     return d

@@ -597,3 +597,48 @@ def cluster_keepers(
     keeper (the smallest id — the same keeper rule as exact_dedup)."""
     cc = connected_components(ids, pairs, id_col)
     return cc.withColumn("is_keeper", (F.col(id_col) == F.col("cluster_id")))
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_star: bool = True,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """END-TO-END near-duplicate deduplication — the composition a corpus
+    actually runs (MinHash -> LSH band join -> transitive closure -> keeper
+    selection) packaged as one operator:
+
+        (id_col, cluster_id, cluster_size, kept)  for EVERY input doc.
+
+    ``filter(kept)`` materializes the deduplicated corpus (one keeper — the
+    min id — per near-dup cluster); dropped rows carry their cluster for
+    auditing. Every stage is the scale-audited primitive: banded equi-join
+    (never all-pairs, hot bands cappable via ``max_band_size``),
+    large-star/small-star contraction for the closure (O(log^2 n) rounds on
+    adversarial chain graphs; ``use_star=False`` falls back to plain
+    min-label propagation, cheaper on tiny-diameter graphs), and the
+    cluster-size annotation is one map-side-combined agg joined back on
+    cluster_id. Deterministic at any parallelism."""
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes, bands, shingle_n, id_col, text_col, max_band_size
+    )
+    ids = docs.select(id_col)
+    cc = (
+        connected_components_star(ids, pairs, id_col)
+        if use_star
+        else connected_components(ids, pairs, id_col)
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("kept"),
+    )

@@ -330,3 +330,68 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return joined.dropDuplicates(["id_a", "id_b"])
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_pairs_size: int | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): partition the embedding
+    space into clusters, then drop every vector that has a LOWER-id
+    neighbor in its cluster with cosine >= threshold. Clustering bounds
+    the quadratic pairwise pass to (n/k)^2 per cluster instead of n^2
+    global — the knob that makes semantic dedup feasible at 10^9 vectors
+    (SemDedup's published runs use k ~ 10^4..10^5 clusters).
+
+    Output: (id_col, cluster_id, kept) for EVERY input vector — callers
+    filter kept to materialize the deduplicated corpus, or inspect dropped
+    rows for auditing. The keeper rule is deterministic (min id wins along
+    any near-dup chain: a vector is dropped iff SOME lower-id vector in
+    its cluster is within threshold), so reruns and repartitions agree.
+
+    Centroids reuse the IVF coarse quantizer (ivf_centroids: md5-seeded
+    deterministic sample — the k-means seam; KBs on the driver) and
+    assignment is the same argmax-cosine JVM expression as ivf_assign.
+    The within-cluster self-join is an equi-join on _list_id — never
+    all-pairs; ``max_cluster_pairs_size`` additionally caps pathological
+    clusters (dedup.cap_bucket_size) when the quantizer collapses.
+    Threshold compares ROUNDED cosine (4 dp) so the DuckDB oracle's
+    boundary decisions match bit-for-bit.
+    """
+    centroids = ivf_centroids(embeddings, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    b = assigned.select(id_col, vec_col, "_list_id")
+    if max_cluster_pairs_size is not None:
+        from mr_crawly_spark.operators.dedup import cap_bucket_size
+
+        b = cap_bucket_size(b, ["_list_id"], max_cluster_pairs_size)
+    left = b.alias("l")
+    right = b.alias("r")
+    dropped = (
+        left.join(right, "_list_id")
+        .filter(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
+        .filter(
+            F.round(
+                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col(f"l.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("_list_id").cast("bigint").alias("cluster_id"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Data-selection operators (selection.py: DSIR, hashed classifier) and
+the semantic/e2e dedup compositions (similarity.semdedup,
+dedup.neardup_dedup): semantic correctness on planted fixtures plus the
+repo-wide determinism contract (identical output at any partitioning)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mr_crawly_spark.operators.dedup import neardup_dedup
+from mr_crawly_spark.operators.selection import (
+    deterministic_weights,
+    dsir_scores,
+    dsir_weights,
+    hashed_classifier_scores,
+)
+from mr_crawly_spark.operators.similarity import semdedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 docs in two topical populations: doc_id % 3 == 0 talk about
+    quantum chemistry, the rest about football — distinct bigram mass."""
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            text = f"quantum chemistry of molecular orbitals sample {i}"
+        else:
+            text = f"football match report goals and corners game {i}"
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_target_docs_score_higher(spark, docs):
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    scored = dsir_scores(docs, target, n_buckets=512, ngram=2)
+    rows = {r["doc_id"]: r["dsir_score"] for r in scored.collect()}
+    in_t = [v for k, v in rows.items() if k % 3 == 0]
+    out_t = [v for k, v in rows.items() if k % 3 != 0]
+    # every target-domain doc must outscore every off-domain doc: their
+    # bigrams carry all the target mass and little raw mass
+    assert min(in_t) > max(out_t)
+
+
+def test_dsir_weights_bounded_rows(spark, docs):
+    target = docs.limit(5)
+    w = dsir_weights(docs, target, n_buckets=128, ngram=2)
+    assert w.count() <= 128
+    assert w.columns == ["bucket", "w"]
+
+
+def test_dsir_partition_invariance(spark, docs):
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    a = sorted(dsir_scores(docs, target, n_buckets=256).collect())
+    b = sorted(
+        dsir_scores(docs.repartition(13), target.coalesce(1), n_buckets=256)
+        .collect()
+    )
+    assert a == b
+
+
+def test_classifier_exact_scores(spark):
+    """Hand-checkable: weights put +1 on 'good' tokens, -1 on 'bad'; OOV
+    tokens contribute 0. clf_score is the exact logit sum."""
+    from mr_crawly_spark.operators.selection import feature_bucket
+
+    d = spark.createDataFrame(
+        [(1, "good good novel"), (2, "bad bad bad good"), (3, "novel words")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("good", 1.0), ("bad", -1.0)], "tok string, w double"
+    )
+    n_buckets = 4096
+    # the hashing trick admits collisions by design; the exact-score claim
+    # below needs the 4 test tokens in distinct buckets — assert that
+    all_toks = spark.createDataFrame(
+        [("good",), ("bad",), ("novel",), ("words",)], "tok string"
+    ).select(feature_bucket(F.col("tok"), n_buckets).alias("b"))
+    assert all_toks.distinct().count() == 4
+    weights = vocab.select(
+        feature_bucket(F.col("tok"), n_buckets).alias("bucket"), "w"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["clf_score"], r["clf_label"])
+        for r in hashed_classifier_scores(d, weights, n_buckets).collect()
+    }
+    assert out[1] == (3, 2.0, True)
+    assert out[2] == (4, -2.0, False)
+    assert out[3] == (2, 0.0, False)
+
+
+def test_classifier_deterministic_weights_partition_invariance(spark, docs):
+    w = deterministic_weights(spark, 256, salt="t")
+    a = sorted(hashed_classifier_scores(docs, w, 256).collect())
+    b = sorted(
+        hashed_classifier_scores(docs.repartition(17), w, 256).collect()
+    )
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    """30 deterministic 8-dim vectors + exact twins of every 5th (id+1000):
+    twins are cosine-1 duplicates that semdedup MUST drop. Components are
+    hash-scattered (no smooth structure — a sin(w*i) family puts vectors
+    ~2pi/w apart at cosine ~1 and plants unintended near-dups)."""
+    rows = []
+    for i in range(30):
+        v = [((i * 31 + j * 17 + (i * j) % 13) % 97) / 97.0 - 0.5 for j in range(8)]
+        rows.append((i, v))
+        if i % 5 == 0:
+            rows.append((i + 1000, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_drops_planted_twins(spark, embeddings):
+    out = semdedup(embeddings, n_clusters=4, threshold=0.999)
+    rows = {r["vec_id"]: (r["cluster_id"], r["kept"]) for r in out.collect()}
+    assert len(rows) == embeddings.count()  # every input annotated
+    for i in range(0, 30, 5):
+        orig_cluster, orig_kept = rows[i]
+        twin_cluster, twin_kept = rows[i + 1000]
+        assert twin_cluster == orig_cluster  # identical vector, same cell
+        assert not twin_kept  # lower-id original wins
+        assert orig_kept  # distinct scattered vectors never reach 0.999
+
+
+def test_semdedup_partition_invariance(spark, embeddings):
+    a = sorted(semdedup(embeddings, n_clusters=4, threshold=0.999).collect())
+    b = sorted(
+        semdedup(
+            embeddings.repartition(11), n_clusters=4, threshold=0.999
+        ).collect()
+    )
+    assert a == b
+
+
+def test_neardup_dedup_e2e(spark, docs):
+    """Planted verbatim copies collapse into their original's cluster;
+    exactly the min id of each cluster is kept; filter(kept) strips every
+    planted copy."""
+    planted = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000)
+    )
+    both = docs.unionByName(planted)
+    out = neardup_dedup(both, n_hashes=8, bands=4, shingle_n=3)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["kept"])
+        for r in out.collect()
+    }
+    assert len(rows) == both.count()
+    for i in range(0, 60, 6):
+        ci, si, ki = rows[i]
+        cj, sj, kj = rows[i + 10_000]
+        assert ci == cj and si == sj >= 2
+        assert not kj  # the copy is never the keeper
+    # keeper rule: kept iff doc_id == cluster_id (min label)
+    for d, (c, _s, k) in rows.items():
+        assert k == (d == c)
+    kept_ids = {d for d, (_c, _s, k) in rows.items() if k}
+    assert all(d < 10_000 for d in kept_ids)
+
+
+def test_neardup_dedup_plain_cc_matches_star(spark, docs):
+    planted = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000)
+    )
+    both = docs.unionByName(planted)
+    a = sorted(neardup_dedup(both, use_star=True).collect())
+    b = sorted(neardup_dedup(both, use_star=False).collect())
+    assert a == b
