@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "bm25",
     "repetition",
     "unigram_logprob",
+    # round 5b: selection / decontamination / e2e dedup
+    "dsir",
+    "dup_ngrams",
+    "dedup_e2e",
 ]
 
 

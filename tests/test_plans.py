@@ -254,3 +254,28 @@ def test_extract_outlinks_single_dedup_exchange(spark, corpus):
     )
     plan = plan_of(extract_outlinks(docs))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["dsir", "clf_quality", "decontaminate", "semdedup"]
+)
+def test_selection_small_sides_broadcast_no_python(spark, name):
+    """The r5 selection/decontamination operators: the bounded side
+    (weights <= n_buckets rows, benchmark shingle set, dropped-id set) must
+    broadcast, and the whole pipeline stays JVM-side — no row-at-a-time or
+    Arrow Python anywhere (these are pure column-expression operators)."""
+    plan = plan_of(entry_mod.queries()[name](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_corpus_text_never_shuffled(spark):
+    """dsir's only exchanges are bucket-count aggregations and the final
+    per-doc combine — document TEXT must not cross a shuffle boundary (at
+    100 TB the text column dwarfs everything; the broadcast-join shape
+    exists precisely to keep it scan-local)."""
+    plan = plan_of(entry_mod.q_dsir(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text crosses a shuffle: {line}")
