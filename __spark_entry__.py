@@ -1009,6 +1009,29 @@ def q_clf_quality(spark, sf_dir):
     return hashed_classifier_scores(docs, weights, n_buckets=1024)
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain token budget, EXACT greedy variant (curation.py
+    domain_token_cap_exact): md5-ordered running-sum window per source;
+    the first budget-crossing doc is included. The oracle replays the
+    identical window in SQL."""
+    from mr_crawly_spark.operators.curation import domain_token_cap_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_token_cap_exact(docs, budget_tokens=2000, domain_col="source")
+
+
+def q_domain_cap_sampled(spark, sf_dir):
+    """Per-domain token budget, scale-safe sampled variant: keep-prob =
+    min(1, budget/domain_tokens) via the md5 threshold — no window, no
+    per-domain serialization; totals are one map-side agg broadcast back."""
+    from mr_crawly_spark.operators.curation import domain_token_cap_sampled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_token_cap_sampled(
+        docs, budget_tokens=2000, domain_col="source"
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """SemDedup (operators/similarity.py, Abbas et al. 2023): cluster the
     embedding space (md5-seeded deterministic centroids — the k-means
@@ -1198,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "clf_quality": q_clf_quality,
         "semdedup": q_semdedup,
+        "domain_cap": q_domain_cap,
+        "domain_cap_sampled": q_domain_cap_sampled,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2141,6 +2166,34 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "domain_cap": f"""
+            WITH base AS (
+              SELECT doc_id, source, len({toks})::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('cap|' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 1000000 AS h
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   (sum(n_tokens) OVER (
+                      PARTITION BY source ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) < 2000 AS kept
+            FROM base
+        """,
+        "domain_cap_sampled": f"""
+            WITH base AS (
+              SELECT doc_id, source, len({toks})::BIGINT AS n_tokens
+              FROM documents
+            ),
+            tot AS (
+              SELECT source, sum(n_tokens)::DOUBLE AS dt
+              FROM base GROUP BY source
+            )
+            SELECT doc_id, source, n_tokens,
+                   (('0x' || substr(md5('cap|' || doc_id::VARCHAR), 1, 15))
+                      ::BIGINT % 1000000)
+                   < round(least(1.0, 2000.0 / dt) * 1000000, 0) AS kept
+            FROM base JOIN tot USING (source)
         """,
         "dsir": f"""
             WITH d AS (SELECT doc_id, {toks} AS w FROM documents),

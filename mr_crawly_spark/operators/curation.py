@@ -484,3 +484,98 @@ def temperature_mix_sample(
     if thr is None:
         return docs.filter(F.lit(False))
     return docs.filter(sample_hash_col(F.col(key_col), salt) < thr.otherwise(F.lit(0)))
+
+
+def domain_token_cap_exact(
+    docs: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap each domain's contribution to the corpus at
+    ``budget_tokens``: within a domain, documents are taken greedily in
+    deterministic md5 order until the running token total passes the
+    budget (the first crossing doc is INCLUDED, so every non-empty domain
+    contributes at least one document).
+
+    Output: (id_col, domain_col, n_tokens, kept). The order is an
+    md5-shuffle of doc ids (not doc order), so the kept set is an unbiased,
+    reproducible, partition-invariant sample of the domain — the standard
+    "no single domain dominates the mixture" gate.
+
+    Plan shape: one scan computes n_tokens, ONE shuffle on domain feeds a
+    running-sum window. SKEW CAVEAT, load-bearing at 100 TB: the window
+    funnels each domain into one task, so a 10^9-doc domain serializes.
+    Use this variant when domains are bounded (hosts, shards); for
+    heavy-tailed domain distributions use domain_token_cap_sampled — same
+    contract in expectation, no window, no skew."""
+    from pyspark.sql import Window
+
+    from mr_crawly_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(sample_hash_col(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    run = F.sum("n_tokens").over(w)
+    # kept iff the PREVIOUS running total (exclusive) is still under budget
+    return base.select(
+        id_col,
+        domain_col,
+        "n_tokens",
+        ((run - F.col("n_tokens")) < budget_tokens).alias("kept"),
+    )
+
+
+def domain_token_cap_sampled(
+    docs: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "cap",
+) -> DataFrame:
+    """The scale-safe twin of domain_token_cap_exact: instead of a greedy
+    running-sum window (which serializes each domain into one task), keep
+    each document with probability min(1, budget/domain_tokens) via the
+    md5 threshold — the kept set meets the budget IN EXPECTATION, with no
+    window and no skew: per-domain token totals are ONE map-side-combined
+    aggregation (a few rows per domain — broadcastable for any realistic
+    domain count), then one scan-side filter.
+
+    Deterministic, partition-invariant, and monotone in budget (a domain's
+    kept set at budget B is a subset of its kept set at B' > B — the same
+    md5-threshold property as deterministic_sample)."""
+    from mr_crawly_spark.functions.text import token_count
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    totals = base.groupBy(domain_col).agg(
+        F.sum("n_tokens").alias("_domain_tokens")
+    )
+    frac = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("_domain_tokens")
+    )
+    threshold = F.round(frac * SAMPLE_MOD, 0)
+    return (
+        base.join(F.broadcast(totals), domain_col)
+        .select(
+            id_col,
+            domain_col,
+            "n_tokens",
+            (
+                sample_hash_col(F.col(id_col), salt) < threshold
+            ).alias("kept"),
+        )
+    )

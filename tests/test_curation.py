@@ -290,3 +290,85 @@ def test_temperature_mix_sample_partition_invariant(spark):
         ).collect()
     )
     assert a == b and 0 < len(a) < 300
+
+
+def _cap_docs(spark):
+    """3 domains: 'big' has 40 ten-token docs (400 tokens), 'small' has 3,
+    'one' has a single doc larger than any budget we test."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "big", " ".join(f"w{j}" for j in range(10))))
+    for i in range(40, 43):
+        rows.append((i, "small", "a b c d e"))
+    rows.append((99, "one", " ".join(f"x{j}" for j in range(500))))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_domain_cap_exact_budget_and_floor(spark):
+    from mr_crawly_spark.operators.curation import domain_token_cap_exact
+
+    docs = _cap_docs(spark)
+    out = domain_token_cap_exact(docs, budget_tokens=100, domain_col="source")
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc annotated
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r["source"], []).append(r)
+    # budget respected up to the first-crossing doc: kept tokens < budget
+    # + one doc; and every non-empty domain keeps at least one doc
+    for dom, rs in by_dom.items():
+        kept = [r for r in rs if r["kept"]]
+        assert kept, dom
+        kept_tokens = sum(r["n_tokens"] for r in kept)
+        max_doc = max(r["n_tokens"] for r in rs)
+        assert kept_tokens < 100 + max_doc
+    # 'small' fits entirely (15 tokens < 100): nothing dropped
+    assert all(r["kept"] for r in by_dom["small"])
+    # 'one' keeps its single giant doc (first crossing included)
+    assert by_dom["one"][0]["kept"]
+    # 'big' (400 tokens) is genuinely capped
+    assert sum(r["n_tokens"] for r in by_dom["big"] if r["kept"]) <= 100
+
+
+def test_domain_cap_exact_monotone_and_invariant(spark):
+    from mr_crawly_spark.operators.curation import domain_token_cap_exact
+
+    docs = _cap_docs(spark)
+    k100 = {
+        r["doc_id"]
+        for r in domain_token_cap_exact(docs, 100).collect()
+        if r["kept"]
+    }
+    k200 = {
+        r["doc_id"]
+        for r in domain_token_cap_exact(docs, 200).collect()
+        if r["kept"]
+    }
+    assert k100 <= k200  # greedy prefix of a fixed md5 order
+    again = {
+        r["doc_id"]
+        for r in domain_token_cap_exact(docs.repartition(7), 100).collect()
+        if r["kept"]
+    }
+    assert again == k100
+
+
+def test_domain_cap_sampled_expectation_and_monotone(spark):
+    from mr_crawly_spark.operators.curation import domain_token_cap_sampled
+
+    docs = _cap_docs(spark)
+    out = domain_token_cap_sampled(docs, budget_tokens=100).collect()
+    big = [r for r in out if r["source"] == "big"]
+    kept_tokens = sum(r["n_tokens"] for r in big if r["kept"])
+    # keep-prob = 100/400 = 0.25 -> expect ~100 tokens kept; md5 draw on
+    # 40 docs concentrates well within a generous band
+    assert 20 <= kept_tokens <= 250
+    # under-budget domains keep everything (frac clamps to 1)
+    assert all(r["kept"] for r in out if r["source"] == "small")
+    k100 = {r["doc_id"] for r in out if r["kept"]}
+    k200 = {
+        r["doc_id"]
+        for r in domain_token_cap_sampled(docs, 200).collect()
+        if r["kept"]
+    }
+    assert k100 <= k200
