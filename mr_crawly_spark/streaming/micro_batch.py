@@ -80,3 +80,35 @@ def stream_crawl(
         .option("checkpointLocation", f"{engine.cfg.warehouse}/_stream_checkpoint")
         .start()
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    key_col: str = "fingerprint",
+    event_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact first-wins deduplication ACROSS micro-batches — the streaming
+    face of dedup.exact_dedup for a continuously-ingesting corpus: the
+    first document carrying each ``key_col`` (e.g. functions.text.
+    fingerprint of the normalized text) is emitted, every later arrival is
+    suppressed by Spark's keyed dedup state.
+
+    State-size discipline, the thing that matters at 10^10 docs: with
+    ``event_col`` set, the watermark BOUNDS the state via
+    dropDuplicatesWithinWatermark — a key's dedup state is evicted once
+    the watermark passes it, so memory is O(keys per watermark window)
+    instead of O(all keys ever) (the dropDuplicates-without-watermark
+    failure mode: unbounded state growth until the job OOMs; duplicates
+    arriving later than the watermark delay are NOT suppressed — that is
+    the documented trade). For all-time exactness at scale, the batch
+    path (exact_dedup over the accumulated table, or the engine's
+    Bloom/cuckoo-prefiltered anti-join) is the right tool; this operator
+    is the ingest-time gate.
+
+    Works identically on a batch frame (dropDuplicates without state) so
+    tests can assert stream ≡ batch on the same plan."""
+    if docs.isStreaming and event_col is not None:
+        docs = docs.withWatermark(event_col, watermark)
+        return docs.dropDuplicatesWithinWatermark([key_col])
+    return docs.dropDuplicates([key_col])

@@ -64,3 +64,49 @@ def test_stream_crawl_matches_oracle(spark, tiny_corpus):
     oracle = OracleCrawler(tiny_corpus).run()
     got = [r["url"] for r in eng.crawl_order().orderBy("rank").collect()]
     assert got == oracle.crawl_order
+
+
+def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
+    """streaming_dedup suppresses duplicate fingerprints arriving in LATER
+    micro-batches (file-per-trigger), matches the batch plan's key set,
+    and keeps the first arrival."""
+    from mr_crawly_spark.streaming.micro_batch import streaming_dedup
+
+    pdir = tmp_path / "docs_stream"
+    pdir.mkdir()
+    schema = "doc_id long, fingerprint string, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(pdir / name))
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    # batch a: fp1, fp2; batch b: fp2 dup + fp3; batch c: fp1, fp3 dups + fp4
+    write_batch("a", [(1, "fp1", t0), (2, "fp2", t0)])
+    write_batch("b", [(3, "fp2", t0), (4, "fp3", t0)])
+    write_batch("c", [(5, "fp1", t0), (6, "fp3", t0), (7, "fp4", t0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pdir / "*"))
+    )
+    out = streaming_dedup(stream, "fingerprint", event_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    # one row per fingerprint, regardless of how many batches repeated it
+    assert sorted(r["fingerprint"] for r in got) == ["fp1", "fp2", "fp3", "fp4"]
+    # matches the batch plan's key set
+    batch = spark.read.parquet(str(pdir / "*"))
+    want_keys = {r["fingerprint"] for r in streaming_dedup(batch, "fingerprint").collect()}
+    assert {r["fingerprint"] for r in got} == want_keys
