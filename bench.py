@@ -51,6 +51,40 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_capacity_probe(n_procs: int | None = None) -> dict:
+    """Effective-CPU probe, recorded with every bench artifact: a fixed
+    pure-python loop timed once solo and once with ``n_procs`` parallel
+    copies. On an exclusive box parallel wall ≈ solo wall; on an
+    oversubscribed shared host it degrades in proportion to the capacity
+    actually delivered (observed on this sandbox: nominal 32 cores
+    delivering ~14 — a 2.3x headline-throughput swing BETWEEN runs of
+    identical code). effective_cores = n_procs * solo / parallel lets
+    cross-round comparisons separate code regressions from host drift."""
+    import subprocess
+    import sys
+
+    n = n_procs or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    code = "s=0\nfor i in range(20_000_000): s+=i\n"
+    t0 = time.monotonic()
+    subprocess.run([sys.executable, "-c", code], check=True)
+    solo = time.monotonic() - t0
+    t0 = time.monotonic()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL)
+        for _ in range(n)
+    ]
+    for p in procs:
+        p.wait()
+    par = time.monotonic() - t0
+    return {
+        "n_procs": n,
+        "solo_sec": round(solo, 3),
+        "parallel_sec": round(par, 3),
+        "effective_cores": round(n * solo / max(par, 1e-9), 1),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -112,6 +146,8 @@ def main() -> int:
                 "total_sec": total,
                 "crawl_e2e": crawl,
                 "frontier": frontier,
+                # untimed (outside t_all): host-drift normalization
+                "host": host_capacity_probe(),
             }
         )
     )
