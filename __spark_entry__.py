@@ -1009,6 +1009,45 @@ def q_clf_quality(spark, sf_dir):
     return hashed_classifier_scores(docs, weights, n_buckets=1024)
 
 
+def q_para_dedup(spark, sf_dir):
+    """CCNet-style paragraph dedup (dedup.paragraph_dedup): every third doc
+    gets the SAME boilerplate paragraph appended; after dedup it survives
+    only in the smallest such doc — the boilerplate-stripping gate that
+    document-level near-dup cannot express. Hash covers the full rebuilt
+    text."""
+    from mr_crawly_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = F.lit("subscribe to our newsletter today")
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\n\n"), boiler),
+    ).otherwise(F.col("text"))
+    return paragraph_dedup(
+        docs.select("doc_id", text2.alias("text")), sep="\n\n"
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Incremental-snapshot delta (curation.corpus_diff): old = corpus
+    minus every 11th doc, new = corpus minus every 13th with every 7th
+    edited — statuses added/removed/changed/unchanged by content
+    fingerprint, one full-outer join on ids (text never shuffles)."""
+    from mr_crawly_spark.operators.curation import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain token budget, EXACT greedy variant (curation.py
     domain_token_cap_exact): md5-ordered running-sum window per source;
@@ -1223,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
+        "para_dedup": q_para_dedup,
+        "corpus_diff": q_corpus_diff,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2166,6 +2207,66 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "para_dedup": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || chr(10)
+                            || 'subscribe to our newsletter today'
+                       ELSE '' END AS text
+              FROM documents
+            ),
+            p AS (
+              -- parallel unnests zip elementwise in DuckDB: pos + para
+              SELECT doc_id,
+                     unnest(range(1, len(ps) + 1)) - 1 AS pos,
+                     unnest(ps) AS para
+              FROM (SELECT doc_id,
+                           string_split(text, chr(10) || chr(10)) AS ps
+                    FROM d) t
+            ),
+            kept AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM p
+              ) WHERE rn = 1
+            ),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text_dedup,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(reb.text_dedup, '') AS text_dedup,
+                   len(string_split(d.text, chr(10) || chr(10)))::BIGINT
+                     AS n_paras,
+                   coalesce(reb.n_kept, 0)::BIGINT AS n_kept
+            FROM d LEFT JOIN reb USING (doc_id)
+        """,
+        "corpus_diff": f"""
+            WITH o AS (
+              SELECT doc_id, {fp} AS f
+              FROM documents WHERE doc_id % 11 <> 0
+            ),
+            nw AS (
+              SELECT doc_id, {fp} AS f FROM (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 7 = 0 THEN ' edited'
+                               ELSE '' END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+              )
+            )
+            SELECT doc_id,
+                   CASE WHEN o.f IS NULL THEN 'added'
+                        WHEN nw.f IS NULL THEN 'removed'
+                        WHEN o.f = nw.f THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN nw USING (doc_id)
         """,
         "domain_cap": f"""
             WITH base AS (

@@ -579,3 +579,35 @@ def domain_token_cap_sampled(
             ).alias("kept"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta — the bookkeeping op an
+    incremental curation pipeline runs before reprocessing anything:
+    (id_col, status) with status in {'added','removed','changed',
+    'unchanged'}, decided by the content fingerprint (functions.text.
+    fingerprint: md5 of case-folded whitespace-collapsed text, so
+    formatting-only edits count as unchanged).
+
+    One full-outer join on the id — fingerprints are computed scan-side,
+    so the join shuffles (id, 32-byte md5) pairs, never text. Downstream:
+    re-curate only status != 'unchanged' (at 100 TB the unchanged mass is
+    the overwhelming majority, and this is what makes nightly incremental
+    runs O(delta) instead of O(corpus))."""
+    from mr_crawly_spark.functions.text import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fo"))
+    n = new.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"))

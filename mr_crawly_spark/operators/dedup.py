@@ -642,3 +642,74 @@ def neardup_dedup(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("kept"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level deduplication (Wenzek et al. 2020 dedup
+    the corpus by paragraph hash before language modeling): every paragraph
+    that occurs more than once corpus-wide survives only at its FIRST
+    occurrence (smallest (doc_id, position)); documents are reconstructed
+    from their surviving paragraphs in original order. This is the gate
+    that strips boilerplate (nav bars, cookie banners, footers) that
+    document-level near-dup never catches — the duplicated unit is smaller
+    than the document.
+
+    Output: (id_col, text_dedup, n_paras, n_kept) — one row per input doc;
+    docs whose every paragraph was claimed elsewhere come back with
+    text_dedup = '' and n_kept = 0 (downstream drops them with a filter).
+
+    Spark-first shape (NO window over the paragraph hash — a window would
+    funnel every copy of a hot boilerplate paragraph into one task):
+    posexplode paragraphs -> md5 -> groupBy(hash).min(struct(doc_id, pos))
+    (map-side combinable: hot hashes collapse to one row per map task
+    before the shuffle) -> equi-join the winner back -> keep iff this
+    occurrence IS the winner -> groupBy doc, sort_array(collect_list) to
+    restore order. Two shuffles total (hash agg+join share the first),
+    both on 8-byte-ish keys, never on document text.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "_pos", "_para"
+        ),
+    ).withColumn("_h", F.md5(F.col("_para")))
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p")))
+        .alias("_win")
+    )
+    kept = (
+        paras.join(winners, "_h")
+        .filter(
+            (F.col(id_col) == F.col("_win.d")) & (F.col("_pos") == F.col("_win.p"))
+        )
+        .select(id_col, "_pos", "_para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_para")))
+                ),
+                lambda s: s["_para"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep)))
+        .cast("bigint")
+        .alias("n_paras"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

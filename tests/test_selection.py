@@ -171,3 +171,67 @@ def test_neardup_dedup_plain_cc_matches_star(spark, docs):
     a = sorted(neardup_dedup(both, use_star=True).collect())
     b = sorted(neardup_dedup(both, use_star=False).collect())
     assert a == b
+
+
+def test_paragraph_dedup_strips_boilerplate(spark):
+    from mr_crawly_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "unique one\n\nSUBSCRIBE NOW"),
+        (2, "unique two\n\nSUBSCRIBE NOW"),
+        (3, "unique three\n\nSUBSCRIBE NOW\n\ntail three"),
+        (4, "standalone"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(d).collect()
+    }
+    # boilerplate survives only in doc 1 (smallest (doc_id, pos))
+    assert out[1] == ("unique one\n\nSUBSCRIBE NOW", 2, 2)
+    assert out[2] == ("unique two", 2, 1)
+    assert out[3] == ("unique three\n\ntail three", 3, 2)
+    assert out[4] == ("standalone", 1, 1)
+
+
+def test_paragraph_dedup_fully_claimed_doc_empties(spark):
+    from mr_crawly_spark.operators.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+           for r in paragraph_dedup(d).collect()}
+    assert out[1] == ("same", 1)
+    assert out[2] == ("", 0)  # annotated, not silently dropped
+
+
+def test_paragraph_dedup_partition_invariant(spark, docs):
+    from mr_crawly_spark.operators.dedup import paragraph_dedup
+
+    import pyspark.sql.functions as FF
+
+    d = docs.select(
+        "doc_id",
+        FF.concat(FF.col("text"), FF.lit("\n\nshared footer")).alias("text"),
+    )
+    a = sorted(paragraph_dedup(d).collect())
+    b = sorted(paragraph_dedup(d.repartition(9)).collect())
+    assert a == b
+
+
+def test_corpus_diff_statuses(spark):
+    from mr_crawly_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  ALPHA   beta "),  # fingerprint-equal: unchanged
+         (2, "gamma prime"),       # changed
+         (4, "epsilon")],          # added
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
