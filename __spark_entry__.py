@@ -1009,6 +1009,54 @@ def q_clf_quality(spark, sf_dir):
     return hashed_classifier_scores(docs, weights, n_buckets=1024)
 
 
+def q_span_stats(spark, sf_dir):
+    """Interleaved text+media span processing over the EXACT input_hint
+    shape (BASELINE.json: array<struct<kind:string, text:string,
+    media_ref:string, offset:int32>>, the engine's schemas.SPAN): documents
+    are lifted into a 3-span interleaved layout (text half, media ref,
+    text half), then explode -> per-(doc, kind) aggregation, all JVM. The
+    oracle recomputes the per-kind expectations from the raw text — the
+    Spark side must round-trip the typed span structs to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    half = (n / 2).cast("int")
+    t1 = F.concat_ws(" ", F.slice(toks, 1, half))
+    t2 = F.concat_ws(" ", F.slice(toks, half + 1, n - half))
+    null_s = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), t1.alias("text"),
+            null_s.alias("media_ref"), F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+            .alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"), t2.alias("text"),
+            null_s.alias("media_ref"), F.lit(2).alias("offset"),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(spans).alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("s_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return exploded.groupBy("doc_id", "kind").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.length(F.col("s_text"))).cast("bigint").alias("text_chars"),
+        F.count("media_ref").alias("n_media_refs"),
+        F.max("offset").cast("bigint").alias("max_offset"),
+    )
+
+
 def q_para_dedup(spark, sf_dir):
     """CCNet-style paragraph dedup (dedup.paragraph_dedup): every third doc
     gets the SAME boilerplate paragraph appended; after dedup it survives
@@ -1264,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
         "corpus_diff": q_corpus_diff,
+        "span_stats": q_span_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2207,6 +2256,26 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "span_stats": f"""
+            WITH d AS (
+              SELECT doc_id, {toks} AS w FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     length(array_to_string(w[1:len(w)//2], ' '))
+                     + length(array_to_string(w[len(w)//2+1:len(w)], ' '))
+                       AS text_chars
+              FROM d
+            )
+            SELECT doc_id, 'text' AS kind, 2::BIGINT AS n_spans,
+                   text_chars::BIGINT AS text_chars,
+                   0::BIGINT AS n_media_refs, 2::BIGINT AS max_offset
+            FROM h
+            UNION ALL
+            SELECT doc_id, 'media' AS kind, 1::BIGINT, 0::BIGINT,
+                   1::BIGINT, 1::BIGINT
+            FROM d
         """,
         "para_dedup": f"""
             WITH d AS (
