@@ -1009,6 +1009,26 @@ def q_clf_quality(spark, sf_dir):
     return hashed_classifier_scores(docs, weights, n_buckets=1024)
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 bigrams (curation.top_ngrams): one map-side
+    combined agg + TakeOrdered top-k; ties broken on the ngram string so
+    the cut is deterministic on both engines."""
+    from mr_crawly_spark.operators.curation import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=50)
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 tf-idf keywords (curation.tfidf_keywords): window over
+    the DOCUMENT (never the term — a per-term window would funnel 'the'
+    into one task); idf from one distinct-doc agg."""
+    from mr_crawly_spark.operators.curation import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, top_j=3)
+
+
 def q_span_stats(spark, sf_dir):
     """Interleaved text+media span processing over the EXACT input_hint
     shape (BASELINE.json: array<struct<kind:string, text:string,
@@ -1313,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "corpus_diff": q_corpus_diff,
         "span_stats": q_span_stats,
+        "top_ngrams": q_top_ngrams,
+        "tfidf_keywords": q_tfidf_keywords,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2256,6 +2278,40 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "top_ngrams": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({shingle2_list}) AS ngram
+              FROM (SELECT doc_id, {toks} AS w FROM documents)
+            )
+            SELECT ngram, count(*)::BIGINT AS freq,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM sh GROUP BY ngram
+            ORDER BY freq DESC, ngram ASC LIMIT 50
+        """,
+        "tfidf_keywords": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln(nn.n / dfq.df), 4) AS tfidf
+              FROM tf JOIN dfq USING (term), nn
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, tfidf, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3
         """,
         "span_stats": f"""
             WITH d AS (

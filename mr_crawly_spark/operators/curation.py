@@ -611,3 +611,97 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(id_col, status.alias("status"))
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams — the introspection
+    pass behind boilerplate discovery, contamination triage, and stopword
+    curation. Output: (ngram, freq, n_docs), frequency-descending with a
+    deterministic tiebreak on the ngram string.
+
+    Plan shape at 100 TB: explode -> ONE map-side-combined aggregation
+    (hot n-grams collapse per map task before the shuffle) -> global top-k
+    via orderBy+limit, which Spark executes as per-partition top-k + a
+    k-row merge (TakeOrderedAndProject), never a full sort."""
+    from mr_crawly_spark.functions.text import shingles, tokens
+
+    feats = (
+        shingles(F.col(text_col), n) if n > 1 else tokens(F.col(text_col))
+    )
+    exploded = docs.select(F.col(id_col), F.explode(feats).alias("ngram"))
+    counted = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counted.orderBy(
+        F.col("freq").desc(), F.col("ngram").asc()
+    ).limit(k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_j: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-j keywords by tf-idf — the cheap topic descriptor
+    a curation pipeline attaches before mixture balancing. Output:
+    (id_col, term, tf bigint, tfidf double, rank bigint), rank 1..j per doc,
+    deterministic ties (tfidf desc, then term asc).
+
+    idf = ln(N / df) with N from one count; term document-frequencies are
+    one map-side-combined agg; the per-doc top-j is a window over (doc) —
+    partitioned by DOCUMENT, so no hot-key funnel (every doc has few
+    terms; contrast a per-TERM window, which would serialize 'the')."""
+    from pyspark.sql import Window
+
+    from mr_crawly_spark.functions.text import tokens
+
+    n_docs = docs.count()
+    if n_docs == 0:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    docs.schema[id_col],
+                    StructField("term", StringType()),
+                    StructField("tf", LongType()),
+                    StructField("tfidf", DoubleType()),
+                    StructField("rank", LongType()),
+                ]
+            ),
+        )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    scored = tf.join(df_, "term").select(
+        id_col,
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("_df")), 4
+        ).alias("tfidf"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_j)
+    )

@@ -372,3 +372,44 @@ def test_domain_cap_sampled_expectation_and_monotone(spark):
         if r["kept"]
     }
     assert k100 <= k200
+
+
+def test_top_ngrams_hand_values(spark):
+    from mr_crawly_spark.operators.curation import top_ngrams
+
+    d = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y"), (3, "z z")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(d, n=2, k=3).collect()
+    assert [tuple(r) for r in rows] == [
+        ("a b", 3, 2),   # twice in doc1 + once in doc2
+        ("b a", 1, 1),   # freq-1 ties broken by ngram asc
+        ("b c", 1, 1),
+    ]
+
+
+def test_tfidf_keywords_rank_and_idf(spark):
+    from mr_crawly_spark.operators.curation import tfidf_keywords
+
+    d = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(d, top_j=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0 -> rare terms win
+    top1 = {d_: sorted(rs, key=lambda r: r["rank"])[0] for d_, rs in by_doc.items()}
+    assert top1[1]["term"] == "rare1" and top1[1]["tfidf"] > 0
+    assert top1[2]["term"] == "rare2"
+    assert top1[3]["term"] == "common" and top1[3]["tfidf"] == 0.0
+    assert all(len(rs) <= 2 for rs in by_doc.values())
+
+
+def test_tfidf_keywords_empty(spark):
+    from mr_crawly_spark.operators.curation import tfidf_keywords
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_keywords(d).count() == 0
