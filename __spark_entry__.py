@@ -1009,6 +1009,40 @@ def q_clf_quality(spark, sf_dir):
     return hashed_classifier_scores(docs, weights, n_buckets=1024)
 
 
+def q_media_dedup(spark, sf_dir):
+    """Binary-payload exact dedup (multimodal.binary_dedup): every 5th
+    document's payload is re-published under a second media id — the
+    duplicate pair must share a digest and exactly one keeper (min id).
+    Digest is md5 of the BINARY column on both engines."""
+    from mr_crawly_spark.operators.multimodal import binary_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("mirror://"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return binary_dedup(media.unionByName(dupes))
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (dedup.winnow_fingerprints, MOSS/SIGMOD'03):
+    per-doc selected (pos, fp) pairs — zero-shuffle per-row array math;
+    the oracle replays the window-minimum selection with the identical
+    leftmost-tie rule."""
+    from mr_crawly_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, kgram=4, window=4)
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-50 bigrams (curation.top_ngrams): one map-side
     combined agg + TakeOrdered top-k; ties broken on the ngram string so
@@ -1335,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": q_span_stats,
         "top_ngrams": q_top_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
+        "media_dedup": q_media_dedup,
+        "winnow": q_winnow,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2278,6 +2314,51 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 4
+        """,
+        "media_dedup": """
+            -- DuckDB's md5 takes VARCHAR only; the Spark side hashes the
+            -- UTF-8 payload BINARY, and md5(VARCHAR) hashes the same UTF-8
+            -- bytes, so the digests agree by construction
+            WITH m AS (
+              SELECT 'img://' || doc_id::VARCHAR AS media_id, text
+              FROM documents
+              UNION ALL
+              SELECT 'mirror://' || doc_id::VARCHAR AS media_id, text
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            h AS (SELECT media_id, md5(text) AS payload_md5 FROM m),
+            k AS (SELECT payload_md5, min(media_id) AS keeper_id
+                  FROM h GROUP BY 1)
+            SELECT media_id, payload_md5, keeper_id,
+                   media_id = keeper_id AS kept
+            FROM h JOIN k USING (payload_md5)
+        """,
+        "winnow": f"""
+            WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform({shingle4_list},
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM d
+            ),
+            sel AS (
+              -- list_distinct can't histogram structs in DuckDB; dedup at
+              -- the row level below instead (same set as Spark's
+              -- array_distinct over the struct array)
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(hs) - 3, 0) + 1),
+                       i -> {{
+                         'pos': (i - 1
+                                 + list_position(hs[i:i+3],
+                                                 list_min(hs[i:i+3]))
+                                 - 1)::BIGINT,
+                         'fp': list_min(hs[i:i+3])
+                       }}) AS fps
+              FROM g
+            )
+            SELECT DISTINCT doc_id, (s).pos AS pos, (s).fp AS fp
+            FROM (SELECT doc_id, unnest(fps) AS s FROM sel)
         """,
         "top_ngrams": f"""
             WITH sh AS (

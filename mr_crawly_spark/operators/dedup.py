@@ -713,3 +713,60 @@ def paragraph_dedup(
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    kgram: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every word k-gram, slide a window of
+    ``window`` consecutive hashes, and select each window's MINIMUM hash.
+    The guarantee: any shared passage of at least window + kgram - 1
+    tokens contributes at least one shared fingerprint, while only
+    ~2/(window+1) of all k-gram hashes are kept — position-aware partial
+    overlap detection that whole-document MinHash cannot do, at a
+    fraction of full k-gram storage.
+
+    Output: (id_col, pos, fp) — 0-based k-gram position and 60-bit
+    md5-prefix hash of each SELECTED k-gram, distinct per document
+    (adjacent windows usually re-select the same minimum). Matching
+    passages across docs = equi-join on fp.
+
+    Plan shape: everything is per-row array math (transform over the
+    hash array inside whole-stage codegen) — ZERO shuffles to produce
+    fingerprints; only the cross-doc join downstream shuffles, on 8-byte
+    keys. Ties inside a window take the leftmost minimum (array_position
+    semantics), mirrored exactly by the oracle."""
+    toks_hashes = F.transform(
+        shingles(F.col(text_col), kgram),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    base = docs.select(F.col(id_col), toks_hashes.alias("_hs"))
+    n_win = F.greatest(F.size("_hs") - (window - 1), F.lit(0))
+    idxs = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sel = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (
+                i
+                + F.array_position(
+                    F.slice(F.col("_hs"), i + 1, window),
+                    F.array_min(F.slice(F.col("_hs"), i + 1, window)),
+                )
+                - 1
+            ).cast("bigint").alias("pos"),
+            F.array_min(F.slice(F.col("_hs"), i + 1, window)).alias("fp"),
+        ),
+    )
+    return base.select(
+        id_col, F.explode(F.array_distinct(sel)).alias("_s")
+    ).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+    )

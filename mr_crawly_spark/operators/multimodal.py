@@ -224,3 +224,33 @@ def media_spans_to_payloads(documents: DataFrame) -> DataFrame:
     return refs.withColumn(
         "payload", F.encode(F.concat(F.lit("payload:"), F.col("media_id")), "UTF-8")
     )
+
+
+def binary_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact deduplication of opaque BINARY payloads (image/audio/video
+    blobs) by content digest — the media twin of dedup.exact_dedup: at
+    crawl scale the same asset is fetched under thousands of URLs (CDNs,
+    mirrors, retina variants served byte-identical), and payload dedup is
+    the single biggest storage win before any decode work.
+
+    Output: (id_col, payload_md5, keeper_id, kept) for every input row;
+    keeper = min id per digest. Plan: digest computed scan-side (md5 of
+    the binary column — JVM, no decode), ONE map-side-combined agg for
+    the keeper map, one equi-join on the 32-char digest. The keeper map
+    has one row per DISTINCT payload, so it shuffles instead of
+    broadcasting by design."""
+    h = F.md5(F.col(payload_col))
+    hashed = media.select(F.col(id_col), h.alias("payload_md5"))
+    keepers = hashed.groupBy("payload_md5").agg(
+        F.min(id_col).alias("keeper_id")
+    )
+    return hashed.join(keepers, "payload_md5").select(
+        id_col,
+        "payload_md5",
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("kept"),
+    )

@@ -235,3 +235,55 @@ def test_corpus_diff_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing's contract: two docs sharing a passage of >= window +
+    kgram - 1 tokens share at least one fingerprint VALUE; disjoint texts
+    share none."""
+    from mr_crawly_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    d = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(d, kgram=4, window=4).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]  # shared passage -> shared fingerprint
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    from mr_crawly_spark.operators.dedup import winnow_fingerprints
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "too short")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(d, kgram=4, window=4).collect()
+    n1 = sum(1 for r in rows if r["doc_id"] == 1)
+    # 97 k-grams, 94 windows; winnowing keeps ~2/(w+1) of hashes
+    assert 10 <= n1 <= 60
+    assert not any(r["doc_id"] == 2 for r in rows)  # < kgram tokens: none
+    # positions are valid k-gram indices
+    assert all(0 <= r["pos"] <= 96 for r in rows if r["doc_id"] == 1)
+
+
+def test_binary_dedup_keeper(spark):
+    from mr_crawly_spark.operators.multimodal import binary_dedup
+
+    d = spark.createDataFrame(
+        [("a", bytearray(b"\x00\x01")), ("b", bytearray(b"\x00\x01")),
+         ("c", bytearray(b"\x02"))],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: (r["keeper_id"], r["kept"])
+           for r in binary_dedup(d).collect()}
+    assert out == {"a": ("a", True), "b": ("a", False), "c": ("c", True)}
