@@ -1041,13 +1041,24 @@ class CrawlEngine:
         touched = self._updates_count
         # sidecar-mode prefilters fold the round deltas in DISTRIBUTED at
         # flush cadence (between flushes the drift anti-join covers them);
-        # capture the union before _commit_table clears the delta lists
-        seen_delta_union = None
-        if (self._bloom_sidecar_mode or self._cuckoo_sidecar_mode) \
-                and self._deltas["seen"]:
-            seen_delta_union = self._deltas["seen"][0]
+        # capture the union before _commit_table clears the delta lists —
+        # and hold it ON THE ENGINE until the merge below has succeeded: a
+        # flush retried after the seen commit cleared the list would
+        # otherwise skip the merge forever (committed-but-unmerged keys
+        # probe definitely-unseen = prefilter false negatives). Captured at
+        # most once per round (the delta frames are persisted round frames,
+        # released only after the whole flush succeeds, so a held reference
+        # stays computable across retries).
+        if (
+            (self._bloom_sidecar_mode or self._cuckoo_sidecar_mode)
+            and getattr(self, "_pending_sidecar_seen", None) is None
+            and self._deltas["seen"]
+        ):
+            u = self._deltas["seen"][0]
             for d in self._deltas["seen"][1:]:
-                seen_delta_union = seen_delta_union.unionByName(d)
+                u = u.unionByName(d)
+            self._pending_sidecar_seen = u
+        seen_delta_union = getattr(self, "_pending_sidecar_seen", None)
         # NOTE: _flushed_round is only set at the END — an interrupted flush
         # (e.g. a streaming wrapper's stop() landing mid-write) must be
         # retryable; each table clears its pending state right after its own
@@ -1138,6 +1149,8 @@ class CrawlEngine:
                 self.spark, seen_delta_union, self._cuckoo_sidecar_path(),
                 self.cfg.bloom_buckets, self._cuckoo_rows,
             )
+        # every configured sidecar merge succeeded — release the held delta
+        self._pending_sidecar_seen = None
         # reload derived state from the flushed parquet (bounds partition
         # counts), then release the round frames the lazy deltas referenced
         self._seen = None

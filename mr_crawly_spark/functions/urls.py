@@ -162,12 +162,14 @@ def url_depth_col(url: Column) -> Column:
 
 
 def url_param_count_col(url: Column) -> Column:
-    """Query-parameter count ('?' then 1 + '&' count); 0 when no query."""
+    """Query-parameter count ('?' then 1 + '&' count); 0 when no query.
+    The query string is everything after the FIRST '?' (RFC 3986 — a
+    second '?' is part of the query value; substring_index(…, -1) would
+    take the text after the LAST one and undercount tracking/redirect
+    URLs, diverging from the oracle's split_part(url, '?', 2))."""
+    q = F.substring(url, F.instr(url, "?") + 1, F.length(url))
     return (
-        F.when(
-            F.instr(url, "?") > 0,
-            F.size(F.split(F.substring_index(url, "?", -1), "&")),
-        )
+        F.when(F.instr(url, "?") > 0, F.size(F.split(q, "&")))
         .otherwise(F.lit(0))
         .cast("bigint")
     )

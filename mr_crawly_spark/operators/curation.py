@@ -200,10 +200,16 @@ def bm25_scores_exploded(
     against anything bigger than the doc list itself.
 
     Returns (id_col, bm25 double rounded to 4) for every document —
-    the same contract as bm25_scores."""
+    the same contract as bm25_scores, INCLUDING query-multiset semantics:
+    a term repeated in query_terms contributes once per repetition (its
+    multiplicity folds into the idf coefficient; mult*x vs repeated
+    addition can differ by an ulp at multiplicity >= 4, far below the
+    4-dp output rounding)."""
     import math
+    from collections import Counter
 
-    terms = sorted(set(query_terms))
+    mult = Counter(query_terms)
+    terms = sorted(mult)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_dl", F.size("_t")
@@ -237,7 +243,7 @@ def bm25_scores_exploded(
         for t in terms
     }
     idf_map = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t] * mult[t]))]
     )
     # identical double op ORDER to bm25_scores (and the DuckDB oracle):
     # idf * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))
@@ -317,13 +323,12 @@ def repetition_stats(
     )
 
     def grams(width: int):
-        idx = F.sequence(F.lit(1), F.col("_n") - (width - 1))
-        mk = lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_t"), i + j) for j in range(width)]
-        )
-        return F.when(
-            F.col("_n") >= width, F.transform(idx, mk)
-        ).otherwise(F.array().cast("array<string>"))
+        # the shared zipped-slice shingle builder (one n-gram construction
+        # repo-wide; the old local element_at shape was the O(tokens²)
+        # form shingles' docstring warns about)
+        from mr_crawly_spark.functions.text import shingles_of_tokens
+
+        return shingles_of_tokens(F.col("_t"), width)
 
     scan = d.select(
         F.col(id_col),
@@ -471,6 +476,11 @@ def temperature_mix_sample(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    # NULL strata are dropped from the sample: they have no defined mixing
+    # weight (and `col == lit(None)` below could never match them — they
+    # would silently fall through to the 0 threshold anyway; popping here
+    # also keeps them out of n_total and makes sorted() safe)
+    counts.pop(None, None)
     q = temperature_mix_weights(counts, alpha, target_frac)
     thr = None
     for s, p in sorted(q.items()):

@@ -18,12 +18,18 @@ from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
 
 
 def _size_bytes(conf_value: str) -> int:
-    """Parse Spark's byte-string conf values ('134217728b', '128m', plain
-    digits) — spark.conf returns whatever unit the value was set with."""
+    """Parse Spark's byte-string conf values ('134217728b', '128m',
+    '128mb', '1g', plain digits) — spark.conf returns whatever unit form
+    the value was set with, and Spark itself accepts both the one-letter
+    and two-letter ('kb'/'mb'/'gb'/'tb') suffixes."""
     v = conf_value.strip().lower()
-    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    if v and v[-1] in units:
-        return int(v[:-1]) * units[v[-1]]
+    units = {
+        "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+        "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40,
+    }
+    for suffix in sorted(units, key=len, reverse=True):
+        if v.endswith(suffix) and v[: -len(suffix)].strip().isdigit():
+            return int(v[: -len(suffix)]) * units[suffix]
     return int(v)
 
 

@@ -171,8 +171,9 @@ def hashed_classifier_scores(
 ) -> DataFrame:
     """Per document: (id, n_tokens, clf_score, clf_label) — the linear
     logit Σ w[bucket(token)] over the document's hashed token buckets,
-    labeled positive at score > 0 (the mean-normalized variant is
-    clf_score / n_tokens — both columns are emitted so callers pick).
+    labeled positive at score > 0. clf_score is the UNNORMALIZED sum (it
+    scales with document length); callers wanting the mean-normalized
+    score compute clf_score / n_tokens from the two emitted columns.
     ``weights`` is (bucket, w); tokens hashing to buckets without a weight
     row contribute 0 (out-of-vocabulary). One corpus scan: explode tokens
     -> broadcast-join weights -> map-side-combined per-doc aggregate.

@@ -107,8 +107,22 @@ def streaming_dedup(
     is the ingest-time gate.
 
     Works identically on a batch frame (dropDuplicates without state) so
-    tests can assert stream ≡ batch on the same plan."""
-    if docs.isStreaming and event_col is not None:
+    tests can assert stream ≡ batch on the same plan.
+
+    Streaming input REQUIRES ``event_col``: silently accepting a
+    watermark-less stream would run dropDuplicates with unbounded keyed
+    state — exactly the OOM failure mode above, deferred to production.
+    There is deliberately no opt-out; all-time dedup belongs on the batch
+    path over the accumulated table."""
+    if docs.isStreaming:
+        if event_col is None:
+            raise ValueError(
+                "streaming_dedup on a streaming DataFrame requires "
+                "event_col: without a watermark the dedup state grows "
+                "with every key ever seen (unbounded). For all-time "
+                "exactness run the batch path (exact_dedup / the seen "
+                "anti-join) over the accumulated table instead."
+            )
         docs = docs.withWatermark(event_col, watermark)
         return docs.dropDuplicatesWithinWatermark([key_col])
     return docs.dropDuplicates([key_col])

@@ -413,3 +413,44 @@ def test_tfidf_keywords_empty(spark):
 
     d = spark.createDataFrame([], "doc_id long, text string")
     assert tfidf_keywords(d).count() == 0
+
+
+def test_size_bytes_two_letter_units():
+    from mr_crawly_spark.operators.dedup import _size_bytes
+
+    assert _size_bytes("128m") == _size_bytes("128mb") == 128 << 20
+    assert _size_bytes("1gb") == 1 << 30
+    assert _size_bytes("64KB") == 64 << 10
+    assert _size_bytes("134217728b") == 134217728
+    assert _size_bytes("4096") == 4096
+    assert _size_bytes("2tb") == 2 << 40
+
+
+def test_temperature_mix_null_strata_dropped(spark):
+    from mr_crawly_spark.operators.curation import temperature_mix_sample
+
+    d = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    out = temperature_mix_sample(
+        d, "lang", "doc_id", alpha=0.5, target_frac=1.0, salt="t"
+    ).collect()
+    assert all(r["lang"] is not None for r in out)  # no crash, nulls dropped
+
+
+def test_bm25_exploded_duplicate_terms_match_column_shape(spark):
+    from mr_crawly_spark.operators.curation import (
+        bm25_scores,
+        bm25_scores_exploded,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "spark scan spark shuffle"), (2, "scan only"), (3, "noise")],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "spark", "scan"]  # query MULTISET: spark counts twice
+    a = {r["doc_id"]: r["bm25"] for r in bm25_scores(d, terms).collect()}
+    b = {r["doc_id"]: r["bm25"]
+         for r in bm25_scores_exploded(d, terms).collect()}
+    assert a == b

@@ -240,3 +240,47 @@ def test_sidecar_mode_resume_mid_crawl(spark, tiny_corpus, monkeypatch,
     resumed.run(fresh=False)
     assert resumed._cuckoo_sidecar_mode
     assert _final_state(resumed) == exact_state
+
+
+def test_sidecar_merge_survives_flush_retry(spark, tiny_corpus, monkeypatch,
+                                            exact_state):
+    """A flush retried AFTER the seen commit cleared the delta list must
+    still fold that delta into the sidecar filter (the captured union is
+    held on the engine until the merge succeeds) — otherwise the
+    committed-but-unmerged keys probe definitely-unseen forever: prefilter
+    false negatives in exactly the retry scenario the flush contract
+    promises to survive."""
+    from pyspark.sql import functions as F
+
+    from mr_crawly_spark.operators import seen as seen_ops
+
+    monkeypatch.setattr(seen_ops, "MAX_DRIVER_BLOOM_BYTES", 1024)
+    calls = {"n": 0}
+    real_merge = seen_ops.merge_bloom_sidecar
+
+    def flaky_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected sidecar-merge failure")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(seen_ops, "merge_bloom_sidecar", flaky_merge)
+    eng = _engine(
+        spark, tiny_corpus, tempfile.mkdtemp(prefix="crawl_retry_"),
+        use_bloom=True, bloom_buckets=4, bloom_expected_n=4096,
+        checkpoint_interval=1,
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.run()
+    assert eng._bloom_sidecar_mode
+    eng.flush()  # the documented retry path — must re-run the merge
+    assert calls["n"] >= 2
+    # no-false-negative audit: every committed seen key probes maybe_seen
+    seen = eng._seen_full_view().select("url", "url_hash")
+    m, k = eng._bloom_mk
+    probed = seen_ops.bloom_prefilter_sidecar(
+        seen, eng._bloom_sidecar_path(), eng.cfg.bloom_buckets, m, k
+    )
+    n_seen = seen.count()
+    assert n_seen > 0
+    assert probed.filter(F.col("maybe_seen")).count() == n_seen

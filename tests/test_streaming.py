@@ -110,3 +110,20 @@ def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
     batch = spark.read.parquet(str(pdir / "*"))
     want_keys = {r["fingerprint"] for r in streaming_dedup(batch, "fingerprint").collect()}
     assert {r["fingerprint"] for r in got} == want_keys
+
+
+def test_streaming_dedup_requires_event_col_on_streams(spark, tmp_path):
+    """Watermark-less streaming dedup = unbounded state; must refuse."""
+    import pytest
+
+    from mr_crawly_spark.streaming.micro_batch import streaming_dedup
+
+    pdir = tmp_path / "docs_nd"
+    spark.createDataFrame(
+        [(1, "fp1")], "doc_id long, fingerprint string"
+    ).write.parquet(str(pdir))
+    stream = spark.readStream.schema("doc_id long, fingerprint string").parquet(
+        str(pdir)
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        streaming_dedup(stream, "fingerprint")

@@ -80,3 +80,20 @@ def test_bpe_token_count_splits_punct_and_digits(spark):
     # "Hello","," ," world","!"," v","2",".","0"," costs"," $","15",".","99"
     assert (rows[0]["ws"], rows[0]["bpe"]) == (5, 13)
     assert (rows[1]["ws"], rows[1]["bpe"]) == (3, 3)  # letters-only: equal
+
+
+def test_url_param_count_first_question_mark(spark):
+    """The query string is everything after the FIRST '?' (RFC 3986): a
+    second '?' inside a query value must not reset the count."""
+    from pyspark.sql import functions as F
+
+    from mr_crawly_spark.functions.urls import url_param_count_col
+
+    d = spark.createDataFrame(
+        [("https://h.test/p?a=1&b=2?c=3",),
+         ("https://h.test/p?x=1",),
+         ("https://h.test/p",)],
+        "url string",
+    )
+    got = [r[0] for r in d.select(url_param_count_col(F.col("url"))).collect()]
+    assert got == [2, 1, 0]
