@@ -1043,6 +1043,61 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(docs, kgram=4, window=4)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring span REMOVAL (dedup.remove_duplicated_spans, Lee et
+    al. ACL 2022 ExactSubstr re-expressed over word 8-grams): cross-doc
+    duplicated runs survive only in the min-doc_id keeper; everyone else
+    has the tokens cut out. Planted positives keep the check non-vacuous:
+    every 7th doc gets the SAME 10-token passage appended (longer than the
+    8-token span floor, so non-keepers must lose exactly those tokens) and
+    every 10th doc is copied verbatim at doc_id + 10^9 (the copy is fully
+    claimed — clean_text must come back empty)."""
+    from mr_crawly_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passage = " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(passage)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    planted = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10**9)
+    )
+    return remove_duplicated_spans(
+        base.unionByName(planted), span_tokens=8
+    )
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (dedup.cdc_chunks, LBFS SOSP'01 cut
+    points): per-payload chunk table with md5-window boundaries, zero
+    shuffles to chunk. Planted positives: every 5th doc re-appears at
+    doc_id + 10^9 with an inserted preamble — a FIXED-size blocker would
+    share nothing, content-defined chunks re-align after the edit."""
+    from mr_crawly_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.concat(F.lit("INSERTED PREAMBLE "), F.col("text")).alias("text"),
+    )
+    return cdc_chunks(docs.unionByName(shifted), window=8, avg_size=64)
+
+
+def q_cdc_ratio(spark, sf_dir):
+    """Chunk-store accounting over q_cdc_chunks (dedup.cdc_dedup_ratio):
+    one (total_bytes, unique_bytes, dedup_ratio) row — the measured
+    storage win of chunk-level dedup on the shifted-copy fixture."""
+    from mr_crawly_spark.operators.dedup import cdc_dedup_ratio
+
+    return cdc_dedup_ratio(q_cdc_chunks(spark, sf_dir))
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-50 bigrams (curation.top_ngrams): one map-side
     combined agg + TakeOrdered top-k; ties broken on the ngram string so
@@ -1371,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "media_dedup": q_media_dedup,
         "winnow": q_winnow,
+        "dedup_spans": q_dedup_spans,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_ratio": q_cdc_ratio,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
@@ -2332,6 +2390,122 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, payload_md5, keeper_id,
                    media_id = keeper_id AS kept
             FROM h JOIN k USING (payload_md5)
+        """,
+        "cdc_chunks": """
+            -- content-defined chunking: md5-window cut points, identical
+            -- boundary hash + chunk digests as the Spark operator; the
+            -- shifted copies re-align after the inserted preamble
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'INSERTED PREAMBLE ' || text AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            d AS (SELECT doc_id, text, length(text) AS n FROM docs2),
+            b AS (SELECT doc_id, text, n,
+              list_concat(list_concat([0],
+                list_filter(range(8, n),
+                  i -> ('0x' || substr(md5(substr(text, i - 7, 8)),
+                                       1, 15))::BIGINT % 64 = 0)),
+                [n]) AS bounds
+              FROM d)
+            SELECT doc_id, k::BIGINT AS chunk_idx,
+                   (bounds[k+2] - bounds[k+1])::BIGINT AS chunk_len,
+                   md5(substr(text, bounds[k+1] + 1,
+                              bounds[k+2] - bounds[k+1])) AS chunk_md5
+            FROM b, UNNEST(range(0, len(bounds) - 1)) AS r(k)
+            WHERE n > 0
+        """,
+        "cdc_ratio": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'INSERTED PREAMBLE ' || text AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            d AS (SELECT doc_id, text, length(text) AS n FROM docs2),
+            b AS (SELECT doc_id, text, n,
+              list_concat(list_concat([0],
+                list_filter(range(8, n),
+                  i -> ('0x' || substr(md5(substr(text, i - 7, 8)),
+                                       1, 15))::BIGINT % 64 = 0)),
+                [n]) AS bounds
+              FROM d),
+            ch AS (
+              SELECT (bounds[k+2] - bounds[k+1])::BIGINT AS chunk_len,
+                     md5(substr(text, bounds[k+1] + 1,
+                                bounds[k+2] - bounds[k+1])) AS chunk_md5
+              FROM b, UNNEST(range(0, len(bounds) - 1)) AS r(k)
+              WHERE n > 0
+            ),
+            per AS (SELECT chunk_md5, min(chunk_len) AS _len,
+                           count(*) AS _copies
+                    FROM ch GROUP BY chunk_md5)
+            SELECT sum(_len * _copies)::BIGINT AS total_bytes,
+                   sum(_len)::BIGINT AS unique_bytes,
+                   round(1 - sum(_len) /
+                         greatest(sum(_len * _copies), 1), 4) AS dedup_ratio
+            FROM per
+        """,
+        "dedup_spans": """
+            -- exact-substring span removal: same 8-token grams, 60-bit
+            -- md5-prefix hashes, min-doc_id keeper, cut-covered-indices
+            -- rebuild as the Spark operator; planted passage + verbatim
+            -- copies mirror q_dedup_spans exactly
+            WITH docs0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text ||
+                       ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            docs2 AS (
+              SELECT doc_id, text FROM docs0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM docs0 WHERE doc_id % 10 = 0
+            ),
+            d AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM docs2),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                     1, 15))::BIGINT AS h
+              FROM d, UNNEST(range(1, len(w) - 8 + 2)) AS r(i)
+            ),
+            s AS (SELECT h, min(doc_id) AS keeper, max(doc_id) AS maxd
+                  FROM g GROUP BY h),
+            f AS (SELECT g.doc_id, g.pos
+                  FROM g JOIN s USING (h)
+                  WHERE s.keeper <> s.maxd AND g.doc_id <> s.keeper),
+            touched AS (SELECT DISTINCT doc_id FROM f),
+            cov AS (SELECT DISTINCT doc_id, pos + o AS idx
+                    FROM f, UNNEST(range(0, 8)) AS r2(o)),
+            tk AS (SELECT d.doc_id, i - 1 AS idx, w[i] AS tok
+                   FROM d JOIN touched USING (doc_id),
+                        UNNEST(range(1, len(w) + 1)) AS r3(i)),
+            kept AS (SELECT t.doc_id, t.idx, t.tok
+                     FROM tk t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.idx = c.idx
+                     WHERE c.doc_id IS NULL),
+            reb AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN touched.doc_id IS NULL
+                        THEN array_to_string(d.w, ' ')
+                        ELSE coalesce(reb.clean_text, '') END AS clean_text,
+                   len(d.w)::BIGINT AS n_tokens,
+                   (CASE WHEN touched.doc_id IS NULL THEN 0
+                         ELSE len(d.w) - coalesce(reb.n_kept, 0)
+                    END)::BIGINT AS n_removed
+            FROM d
+            LEFT JOIN touched USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
         """,
         "winnow": f"""
             WITH d AS (SELECT doc_id, {toks} AS w FROM documents),

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "dsir",
     "dup_ngrams",
     "dedup_e2e",
+    # round 5c: exact-substring span removal
+    "dedup_spans",
 ]
 
 

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from mr_crawly_spark.functions.text import fingerprint, shingles, tokens
+from mr_crawly_spark.functions.text import (
+    fingerprint,
+    shingles,
+    shingles_of_tokens,
+    tokens,
+)
 
 
 def _size_bytes(conf_value: str) -> int:
@@ -775,4 +780,214 @@ def winnow_fingerprints(
         id_col, F.explode(F.array_distinct(sel)).alias("_s")
     ).select(
         id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication at token granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    — their ExactSubstr pass, re-expressed over word L-grams instead of a
+    suffix array): any run of >= ``span_tokens`` consecutive tokens that
+    also appears in ANOTHER document survives only in the document with
+    the smallest id (the shared keeper rule); every other document has
+    those tokens CUT OUT, not just flagged. Within-document repeats are
+    untouched (cross-doc only — the training-data leak is the cross-doc
+    copy; duplicated_ngram_fraction already scores the rest).
+
+    Output, one row per input doc:
+        (id_col, clean_text, n_tokens, n_removed)
+    clean_text is the surviving tokens joined by single spaces (documents
+    are whitespace-normalized on the way through, matching ``tokens``);
+    a fully-claimed doc comes back with clean_text = '' and
+    n_removed = n_tokens.
+
+    Spark-first shape, and why it scales:
+    - L-grams come from the shared shifted-slice builder (zero shuffles to
+      produce), and only their 60-bit md5-prefix hash + (doc, pos) ever
+      shuffles — 8-byte keys, never text (same trick as
+      duplicated_ngram_fraction, decontam.py:102-107).
+    - the cross-doc test is min(doc_id) != max(doc_id) on one
+      map-side-combined groupBy — deliberately NOT countDistinct, which
+      Catalyst would expand into a second aggregate pass.
+    - the token-level explode -> anti-join -> rebuild runs ONLY for
+      documents that actually lost a span (semi-join gate); clean corpora
+      pay one scan + the gram agg, nothing per-token. Untouched docs are
+      whitespace-normalized scan-side with no shuffle.
+    - rebuild is groupBy(doc) + sort_array(collect_list(struct(idx, tok)))
+      (the paragraph_dedup pattern) — per-doc groups, no window over a
+      corpus-wide key, no hot-key funnel.
+    """
+    L = span_tokens
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_w"))
+    grams = base.select(
+        id_col,
+        F.posexplode(shingles_of_tokens(F.col("_w"), L)).alias("_pos", "_g"),
+    ).select(
+        id_col,
+        "_pos",
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    stats = grams.groupBy("_h").agg(
+        F.min(id_col).alias("_keeper"), F.max(id_col).alias("_maxd")
+    )
+    flagged = (
+        grams.join(stats, "_h")
+        .filter(
+            (F.col("_keeper") != F.col("_maxd"))
+            & (F.col(id_col) != F.col("_keeper"))
+        )
+        .select(id_col, "_pos")
+    )
+    covered = flagged.select(
+        id_col,
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (L - 1))).alias(
+            "_idx"
+        ),
+    ).distinct()
+    touched_ids = flagged.select(id_col).distinct()
+    touched = base.join(touched_ids, id_col, "left_semi")
+    kept = (
+        touched.select(
+            id_col,
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.posexplode("_w").alias("_idx", "_tok"),
+        )
+        .join(covered, [id_col, "_idx"], "left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_idx"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+    )
+    # left join from touched: a fully-claimed doc has NO kept rows
+    touched_out = (
+        touched.select(id_col, F.size("_w").cast("bigint").alias("n_tokens"))
+        .join(
+            rebuilt.select(id_col, "clean_text", "_n_kept"), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    untouched_out = base.join(touched_ids, id_col, "left_anti").select(
+        id_col,
+        F.concat_ws(" ", F.col("_w")).alias("clean_text"),
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+    )
+    return touched_out.unionByName(untouched_out)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    avg_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the LBFS cut-point idea — Muthitacharoen
+    et al., "A Low-Bandwidth Network File System", SOSP 2001; FastCDC, Xia
+    et al., USENIX ATC 2016 is the gear-hash speedup of the same scheme):
+    split each payload at positions where the hash of the trailing
+    ``window`` characters lands in a 1/``avg_size`` residue class, so cut
+    points depend only on LOCAL CONTENT. The property fixed-size blocks
+    can't give: inserting or deleting bytes near the front shifts every
+    fixed block but leaves all content-defined chunks after the edit
+    IDENTICAL — chunk-level dedup then stores near-identical payloads
+    (CDN mirrors, re-crawled pages with one banner changed) once plus a
+    delta, where binary_dedup's whole-payload digest sees two distinct
+    blobs.
+
+    Output: (id_col, chunk_idx, chunk_len, chunk_md5) — one row per chunk,
+    chunk_idx 0-based in document order; empty payloads produce no rows.
+    Cross-doc chunk sharing = equi-join on chunk_md5 (cdc_dedup_ratio
+    aggregates it into the storage win).
+
+    Plan shape: boundary selection and chunk slicing are per-row array
+    math (filter/transform over a position sequence inside whole-stage
+    codegen) — ZERO shuffles to chunk; only the downstream chunk_md5
+    join/agg shuffles, on 16-byte digests, never payload bytes. The
+    boundary hash here is the md5 of the trailing window — bit-identical
+    in DuckDB, which is what the oracle checks; a production deployment
+    swaps in a gear/Rabin rolling hash (O(1)/byte instead of O(window))
+    behind the same cut-point contract."""
+    text = F.col(text_col)
+    n = F.length(text)
+    cand = F.when(n >= window + 1, F.sequence(F.lit(window), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win_hash = lambda i: (
+        F.conv(
+            F.substring(F.md5(text.substr(i - (window - 1), F.lit(window))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    bpos = F.filter(cand, lambda i: win_hash(i) % avg_size == 0)
+    bounds = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    chunk = lambda k: F.struct(
+        k.cast("bigint").alias("chunk_idx"),
+        (F.element_at(bounds, k + 2) - F.element_at(bounds, k + 1))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.md5(
+            text.substr(
+                F.element_at(bounds, k + 1) + 1,
+                F.element_at(bounds, k + 2) - F.element_at(bounds, k + 1),
+            )
+        ).alias("chunk_md5"),
+    )
+    chunks = F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(0), F.size(bounds) - 2), chunk),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:bigint,chunk_len:bigint,chunk_md5:string>>"
+    ))
+    return docs.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_len").alias("chunk_len"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+    )
+
+
+def cdc_dedup_ratio(chunks: DataFrame) -> DataFrame:
+    """Storage accounting over a cdc_chunks table: ONE row
+    (total_bytes, unique_bytes, dedup_ratio) where dedup_ratio =
+    1 - unique/total — the fraction of the corpus a chunk store would NOT
+    write. Two map-side-combined aggs (per-digest, then corpus scalar);
+    nothing driver-side but the single result row."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.min("chunk_len").alias("_len"),
+        F.count(F.lit(1)).alias("_copies"),
+    )
+    return per.agg(
+        F.sum(F.col("_len") * F.col("_copies")).cast("bigint").alias("total_bytes"),
+        F.sum("_len").cast("bigint").alias("unique_bytes"),
+        F.round(
+            1 - F.sum("_len") / F.greatest(
+                F.sum(F.col("_len") * F.col("_copies")), F.lit(1)
+            ),
+            4,
+        ).alias("dedup_ratio"),
     )

@@ -287,3 +287,144 @@ def test_binary_dedup_keeper(spark):
     out = {r["media_id"]: (r["keeper_id"], r["kept"])
            for r in binary_dedup(d).collect()}
     assert out == {"a": ("a", True), "b": ("a", False), "c": ("c", True)}
+
+
+def test_remove_duplicated_spans_cuts_cross_doc_copies(spark):
+    from mr_crawly_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens, > span_tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"uno dos tres {shared} cuatro"),
+            (3, "lone wolf text with no copies at all here"),
+            (4, shared),  # nothing but the shared passage
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, span_tokens=8).collect()
+    }
+    assert len(out) == 4
+    # keeper (min doc_id) keeps the passage verbatim
+    assert out[1]["clean_text"] == f"alpha beta {shared} gamma delta"
+    assert out[1]["n_removed"] == 0
+    # non-keepers lose exactly the shared tokens, context survives
+    assert out[2]["clean_text"] == "uno dos tres cuatro"
+    assert out[2]["n_removed"] == 10 and out[2]["n_tokens"] == 14
+    assert out[3]["n_removed"] == 0
+    # fully-claimed doc comes back empty, not missing
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 10
+
+
+def test_remove_duplicated_spans_short_spans_survive(spark):
+    from mr_crawly_spark.operators.dedup import remove_duplicated_spans
+
+    shared7 = "t1 t2 t3 t4 t5 t6 t7"  # 7 tokens < span_tokens=8
+    docs = spark.createDataFrame(
+        [(1, f"a {shared7} b"), (2, f"c {shared7} d")],
+        "doc_id long, text string",
+    )
+    out = remove_duplicated_spans(docs, span_tokens=8).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    # within-doc repeats are untouched too (cross-doc only)
+    rep = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5 x6 x7 x8 y x1 x2 x3 x4 x5 x6 x7 x8")],
+        "doc_id long, text string",
+    )
+    r = remove_duplicated_spans(rep, span_tokens=8).collect()[0]
+    assert r["n_removed"] == 0
+
+
+def test_remove_duplicated_spans_partition_invariant(spark):
+    from mr_crawly_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    rows = [
+        (i, f"doc {i} body w{i} v{i} " + (shared if i % 3 == 0 else f"u{i}"))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        remove_duplicated_spans(docs.repartition(1), span_tokens=8).collect()
+    )
+    b = sorted(
+        remove_duplicated_spans(docs.repartition(13), span_tokens=8).collect()
+    )
+    assert a == b
+    keeper = min(i for i in range(40) if i % 3 == 0)
+    got = {r["doc_id"]: r["n_removed"] for r in a}
+    assert got[keeper] == 0
+    assert all(got[i] == 9 for i in range(40) if i % 3 == 0 and i != keeper)
+
+
+def _cdc_py_reference(text, window=8, avg_size=64):
+    """Pure-python replay of cdc_chunks' cut-point rule."""
+    import hashlib
+
+    n = len(text)
+    bpos = [
+        i
+        for i in range(window, n)
+        if int(hashlib.md5(text[i - window:i].encode()).hexdigest()[:15], 16)
+        % avg_size
+        == 0
+    ]
+    bounds = [0] + bpos + [n]
+    return [
+        (k, bounds[k + 1] - bounds[k],
+         hashlib.md5(text[bounds[k]:bounds[k + 1]].encode()).hexdigest())
+        for k in range(len(bounds) - 1)
+    ]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    from mr_crawly_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(f"w{i % 97}x{i % 13}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_len"], r["chunk_md5"])
+        for r in cdc_chunks(docs).collect()
+        if r["doc_id"] == 1
+    )
+    assert rows == _cdc_py_reference(text)
+    assert sum(r[1] for r in rows) == len(text)
+    # empty payload -> no rows at all
+    assert not [r for r in cdc_chunks(docs).collect() if r["doc_id"] == 2]
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The content-defined property: a prefix insertion shifts every
+    fixed-size block but chunks re-align at the first cut point after the
+    edit — the two payloads share all downstream chunk digests."""
+    from mr_crawly_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i * 7 % 311}y{i % 23}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "ENTIRELY NEW PREAMBLE CONTENT " + base)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(docs).collect()
+    a = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    b = {r["chunk_md5"] for r in out if r["doc_id"] == 2}
+    shared = len(a & b)
+    # everything after the first post-edit boundary is shared: expect all
+    # but a couple of head chunks in common
+    assert shared >= len(a) - 3 and len(a) >= 4
+
+
+def test_cdc_dedup_ratio_counts_identical_payloads_once(spark):
+    from mr_crawly_spark.operators.dedup import cdc_chunks, cdc_dedup_ratio
+
+    text = " ".join(f"z{i % 53}q{i % 17}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    r = cdc_dedup_ratio(cdc_chunks(docs)).collect()[0]
+    assert r["total_bytes"] == 2 * len(text)
+    assert r["unique_bytes"] == len(text)
+    assert abs(r["dedup_ratio"] - 0.5) < 1e-9
