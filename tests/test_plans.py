@@ -279,3 +279,25 @@ def test_dsir_corpus_text_never_shuffled(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "text" in line:
             raise AssertionError(f"text crosses a shuffle: {line}")
+
+
+def test_cdc_chunks_zero_shuffle_pure_jvm(spark):
+    """cdc_chunks claims chunking is per-row array math: the plan must be
+    scan -> project -> explode with NO Exchange and NO Python anywhere
+    (the gear fast path is the sanctioned mapInPandas twin)."""
+    df = entry_mod.q_cdc_chunks(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_dedup_spans_no_expand_no_cartesian_no_python(spark):
+    """remove_duplicated_spans' cross-doc test is min!=max on one
+    map-side-combined agg — deliberately NOT countDistinct, which would
+    show up as an Expand node; and nothing in the operator may fall back
+    to a cartesian join or row Python."""
+    df = entry_mod.q_dedup_spans(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Expand" not in plan, "countDistinct-style expand crept in"
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
