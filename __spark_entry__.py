@@ -1243,6 +1243,22 @@ def q_semdedup(spark, sf_dir):
     return SIM.semdedup(both, n_clusters=8, threshold=0.98)
 
 
+def q_kmeans(spark, sf_dir):
+    """Lloyd's k-means (operators/similarity.py kmeans): two full
+    assign->update iterations from the md5-seeded initial centroids, then
+    the final assignment. The DuckDB oracle replays the ENTIRE trajectory
+    (decimal(27,10) per-dim sums -> 6dp-rounded means, argmax-cosine with
+    min-index ties), so a drifted centroid, a flipped assignment, or a
+    wrong empty-cluster rule all hash-mismatch."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    assigned, _cents = SIM.kmeans(emb, k=8, n_iter=2)
+    return assigned.select(
+        "vec_id", F.col("_list_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -1417,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "clf_quality": q_clf_quality,
         "semdedup": q_semdedup,
+        "kmeans": q_kmeans,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -1549,6 +1566,66 @@ def oracle_sql() -> dict[str, str]:
         f"('0x' || substr(d, {2 * i + 1}, 2))::BIGINT AS f{i}" for i in range(8)
     )
     crawl_seen_path = _materialize_crawl_seen_oracle()
+
+    def kmeans_trajectory_sql(k: int = 8, n_iter: int = 2) -> str:
+        """Unroll the Lloyd trajectory (similarity.kmeans) as CTEs: each
+        iteration is assignment (argmax full-precision cosine, min-index
+        ties — the exact struct ordering ivf_assign uses) followed by a
+        decimal-exact per-(cluster, dim) mean rounded to 6dp; empty
+        clusters inherit the previous centroid via NOT IN."""
+        assign = """
+            {name} AS (
+              SELECT vec_id, v, idx AS cid FROM (
+                SELECT e.vec_id, e.v, c.idx,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.v)
+                                  / (sqrt(list_dot_product(c.v, c.v))
+                                     * sqrt(list_dot_product(e.v, e.v))) DESC,
+                                  c.idx ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN {cent} c
+              ) WHERE rn = 1
+            )"""
+        parts = [
+            """emb AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id % 5 = 0
+            )""",
+            f"""cent0 AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                       - 1 AS idx,
+                     list_transform(v, x -> round(x, 6)) AS v
+              FROM (SELECT vec_id, v FROM emb
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
+            )""",
+        ]
+        for it in range(n_iter):
+            parts.append(assign.format(name=f"a{it}", cent=f"cent{it}").strip())
+            parts.append(f"""m{it + 1} AS (
+              SELECT cid, pos,
+                     round(sum(x::DECIMAL(27,10))::DOUBLE / count(*), 6) AS mu
+              FROM (SELECT cid, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS pos FROM a{it})
+              GROUP BY cid, pos
+            )""")
+            parts.append(f"""built{it + 1} AS (
+              SELECT cid AS idx, list(mu ORDER BY pos) AS v
+              FROM m{it + 1} GROUP BY cid
+            )""")
+            parts.append(f"""cent{it + 1} AS (
+              SELECT idx, v FROM built{it + 1}
+              UNION ALL
+              SELECT c.idx, c.v FROM cent{it} c
+              WHERE c.idx NOT IN (SELECT idx FROM built{it + 1})
+            )""")
+        parts.append(assign.format(name="afinal", cent=f"cent{n_iter}").strip())
+        ctes = ",\n            ".join(parts)
+        return (
+            f"WITH {ctes}\n"
+            "            SELECT vec_id, cid::BIGINT AS cluster_id FROM afinal"
+        )
+
     d = {
         "crawl_seen": f"""
             SELECT url, first_seen_round
@@ -2763,6 +2840,7 @@ def oracle_sql() -> dict[str, str]:
                    (dr.vec_id IS NULL) AS kept
             FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
         """,
+        "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
         "embed_neardup": f"""
             WITH emb2 AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

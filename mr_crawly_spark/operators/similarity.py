@@ -200,6 +200,63 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over the cosine geometry — the real clustering the
+    IVF/SemDedup seeded-sample quantizer (``ivf_centroids``) stands in
+    for. Per iteration: (1) argmax-cosine assignment (``ivf_assign``, all
+    JVM — centroids ride the plan as literals, so there is no join and no
+    shuffle in the assign step); (2) centroid update = per-(cluster, dim)
+    mean via ONE map-side-combined shuffle whose post-agg size is exactly
+    k*dim rows regardless of corpus size — at 10^9 vectors the wide pass
+    is a scan, the shuffle payload is (cluster_id, pos, partial_sum).
+    Only those k*dim rows reach the driver (KBs), mirroring how Spark
+    MLlib's KMeans collects per-iteration centroid updates.
+
+    Determinism: per-dim sums aggregate in decimal(27,10) (exact, so
+    partition order can't change the result) and every centroid component
+    is rounded to 6 dp at each iteration boundary; assignment ties break
+    to the lowest centroid index (``ivf_assign`` struct ordering). A
+    DuckDB oracle can therefore replay the whole trajectory bit-for-bit.
+    Empty clusters keep their previous centroid.
+
+    Returns (assignments carrying ``_list_id``, final centroids).
+    """
+    cents = [
+        [round(float(x), 6) for x in c]
+        for c in ivf_centroids(embeddings, k, id_col, vec_col)
+    ]
+    if not cents:
+        return embeddings.withColumn("_list_id", F.lit(None).cast("int")), []
+    dim = len(cents[0])
+    vecs = embeddings.select(id_col, vec_col)
+    for _ in range(n_iter):
+        rows = (
+            ivf_assign(vecs, cents, vec_col)
+            .select("_list_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("_list_id", "pos")
+            .agg(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(27,10)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in rows:
+            upd.setdefault(int(r["_list_id"]), [0.0] * dim)[int(r["pos"])] = round(
+                float(r["s"]) / int(r["n"]), 6
+            )
+        cents = [upd.get(i, cents[i]) for i in range(k)]
+    return ivf_assign(embeddings, cents, vec_col), cents
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,

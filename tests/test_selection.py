@@ -495,3 +495,96 @@ def test_cdc_fast_realign_and_ratio_composition(spark):
     r = cdc_dedup_ratio(cdc_chunks_fast(twin)).collect()[0]
     assert r["unique_bytes"] == len(base.encode())
     assert r["total_bytes"] == 2 * len(base.encode())
+
+
+# ---- Lloyd's k-means (similarity.kmeans) -------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def direction_clusters(spark):
+    """3 planted direction cones in 8-dim: members of a cone are the base
+    direction plus small deterministic jitter (cosine >= ~0.99 within a
+    cone, ~0 across cones — the bases are axis-disjoint), so argmax-cosine
+    k-means with k=3 must recover the planting exactly."""
+    bases = {
+        0: [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        1: [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        2: [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0],
+    }
+    rows = []
+    for i in range(30):
+        g = i % 3
+        v = [
+            b + (((i * 7 + j * 3) % 5) - 2) * 0.02 for j, b in enumerate(bases[g])
+        ]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_planted_direction_clusters(spark, direction_clusters):
+    from mr_crawly_spark.operators.similarity import kmeans
+
+    assigned, cents = kmeans(direction_clusters, k=3, n_iter=3)
+    rows = {r["vec_id"]: r["_list_id"] for r in assigned.collect()}
+    assert len(rows) == 30
+    groups = [{rows[i] for i in range(g, 30, 3)} for g in range(3)]
+    for g in groups:
+        assert len(g) == 1  # every cone lands in exactly one cluster
+    labels = {next(iter(g)) for g in groups}
+    assert len(labels) == 3  # and the cones stay apart
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+
+
+def test_kmeans_partition_invariance(spark, direction_clusters):
+    """Decimal per-dim sums + 6dp boundary rounding make the centroid
+    trajectory exact: repartitioning the input cannot change assignments."""
+    from mr_crawly_spark.operators.similarity import kmeans
+
+    a, ca = kmeans(direction_clusters, k=3, n_iter=2)
+    b, cb = kmeans(direction_clusters.repartition(11), k=3, n_iter=2)
+    assert ca == cb
+    assert sorted(map(tuple, a.select("vec_id", "_list_id").collect())) == sorted(
+        map(tuple, b.select("vec_id", "_list_id").collect())
+    )
+
+
+def test_kmeans_centroid_update_matches_numpy(spark):
+    """One Lloyd iteration on a 2-cluster toy: the updated centroid must be
+    the per-dim mean (rounded 6dp) of the vectors assigned to it."""
+    import numpy as np
+
+    from mr_crawly_spark.operators.similarity import ivf_centroids, kmeans
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _assigned, cents = kmeans(df, k=2, n_iter=1)
+    init = ivf_centroids(df, 2)
+    # seeds split one per cone here (md5 order) — each updated centroid is
+    # the mean of its cone regardless of which seed drew which cone
+    means = {
+        tuple(round(x, 6) for x in np.mean([rows[0][1], rows[1][1]], axis=0)),
+        tuple(round(x, 6) for x in np.mean([rows[2][1], rows[3][1]], axis=0)),
+    }
+    got = {tuple(c) for c in cents}
+    assert got == means, (init, cents)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """All-identical input with k=3: min-index ties send every vector to
+    cluster 0; clusters 1 and 2 never receive members, so their centroids
+    must survive the update untouched (the NOT-IN branch in the oracle)."""
+    from mr_crawly_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.5]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans(df, k=3, n_iter=2)
+    assert {r["_list_id"] for r in assigned.collect()} == {0}
+    assert len(cents) == 3
+    assert cents[1] == cents[2] == [0.5, 0.5, 0.5]
