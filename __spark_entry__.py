@@ -1259,6 +1259,20 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_bpe(spark, sf_dir):
+    """BPE merge learning (operators/bpe.py, Sennrich et al. 2016): the
+    first 4 merge rules learned corpus-wide — per round ONE
+    map-side-combined pair agg + top-1, with leftmost-non-overlapping
+    replace() as the merge step. The DuckDB oracle replays the identical
+    trajectory (same \\x01/\\x02 token stream, same freq-then-binary-order
+    tie rule), so a wrong pair count, tie break, or merge application at
+    ANY round hash-mismatches everything after it."""
+    from mr_crawly_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=4)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded near-dup pairs over a 10% slice + planted duplicates
     (hamming 0 for the copies — must all be recovered). hamming cast bigint
@@ -1434,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_quality": q_clf_quality,
         "semdedup": q_semdedup,
         "kmeans": q_kmeans,
+        "bpe": q_bpe,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -1625,6 +1640,48 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {ctes}\n"
             "            SELECT vec_id, cid::BIGINT AS cluster_id FROM afinal"
         )
+
+    def bpe_trajectory_sql(n_merges: int = 4) -> str:
+        """Unroll the BPE merge trajectory (operators/bpe.py bpe_merges):
+        per round, pair counts over the chr(1)-joined token stream, top-1
+        by (freq DESC, a, b), then the leftmost non-overlapping replace
+        gluing the winner with chr(2) — bit-identical to the Spark loop."""
+        parts = [
+            """c0 AS (
+              SELECT array_to_string(
+                       string_split_regex(
+                         trim(replace(replace(text, chr(1), ' '),
+                                      chr(2), ' ')), '\\s+'),
+                       chr(1)) AS s
+              FROM documents
+            )"""
+        ]
+        sel = []
+        for t in range(1, n_merges + 1):
+            parts.append(f"""p{t} AS (
+              SELECT p['a'] AS a, p['b'] AS b, count(*)::BIGINT AS freq
+              FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'a': w[i], 'b': w[i+1]}})) AS p
+                FROM (SELECT string_split(s, chr(1)) AS w FROM c{t - 1})
+              ) GROUP BY 1, 2
+            )""")
+            parts.append(f"""t{t} AS (
+              SELECT a, b, freq FROM p{t}
+              ORDER BY freq DESC, a ASC, b ASC LIMIT 1
+            )""")
+            parts.append(f"""c{t} AS (
+              SELECT replace(s, (SELECT a || chr(1) || b FROM t{t}),
+                                (SELECT a || chr(2) || b FROM t{t})) AS s
+              FROM c{t - 1}
+            )""")
+            sel.append(
+                f"SELECT {t}::INT AS step, a AS token_a, b AS token_b,"
+                f" freq FROM t{t}"
+            )
+        ctes = ",\n            ".join(parts)
+        union = "\n            UNION ALL ".join(sel)
+        return f"WITH {ctes}\n            {union}"
 
     d = {
         "crawl_seen": f"""
@@ -2841,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
         """,
         "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
+        "bpe": bpe_trajectory_sql(n_merges=4),
         "embed_neardup": f"""
             WITH emb2 AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -454,3 +454,87 @@ def test_bm25_exploded_duplicate_terms_match_column_shape(spark):
     b = {r["doc_id"]: r["bm25"]
          for r in bm25_scores_exploded(d, terms).collect()}
     assert a == b
+
+
+# ---- BPE merge learning (operators/bpe.py) ------------------------------ #
+
+
+def _bpe_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the rat"),
+            (3, "a cat a cat a cat"),
+            (4, "the cat the cat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_learns_expected_merges(spark):
+    """Hand-checked trajectory: ('the','cat') dominates round 1 (4 hits),
+    ('a','cat') round 2, and round 3 pairs the round-2 atom with ITSELF —
+    proving merged units participate as atoms in later rounds."""
+    from mr_crawly_spark.operators.bpe import bpe_merges
+
+    got = [tuple(r) for r in bpe_merges(_bpe_corpus(spark), n_merges=3).collect()]
+    assert got == [
+        (1, "the", "cat", 4),
+        (2, "a", "cat", 3),
+        (3, "a\x02cat", "a\x02cat", 2),
+    ]
+
+
+def test_bpe_apply_is_greedy_leftmost(spark):
+    """'a cat a cat a cat' under merges [(the,cat),(a,cat),(a·cat,a·cat)]:
+    greedy leftmost pairs atoms (1,2) and leaves the third — the textbook
+    BPE application order the replace() encoding must reproduce."""
+    from mr_crawly_spark.operators.bpe import apply_bpe_merges, bpe_merges
+
+    docs = _bpe_corpus(spark)
+    rules = [
+        (r["token_a"], r["token_b"])
+        for r in bpe_merges(docs, n_merges=3).collect()
+    ]
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_merges(docs, rules).collect()
+    }
+    assert toks[3] == ["a\x02cat\x02a\x02cat", "a\x02cat"]
+    assert toks[4] == ["the\x02cat", "the\x02cat"]
+    assert toks[1] == ["the\x02cat", "sat", "on", "the", "mat"]
+
+
+def test_bpe_partition_invariance(spark):
+    from mr_crawly_spark.operators.bpe import bpe_merges
+
+    docs = _bpe_corpus(spark)
+    a = [tuple(r) for r in bpe_merges(docs, n_merges=3).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_merges(docs.repartition(7), n_merges=3).collect()
+    ]
+    assert a == b
+
+
+def test_bpe_strips_forged_control_bytes(spark):
+    """Hostile text carrying the internal \\x01/\\x02 bytes must not forge
+    merge atoms: the bytes are replaced with spaces before tokenizing."""
+    from mr_crawly_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "x\x01y x\x01y x\x02y"), (2, "x\x01y q q")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in bpe_merges(docs, n_merges=1).collect()]
+    # every control byte became a space, so the dominant pair is (x, y)
+    assert rows == [(1, "x", "y", 4)]
+
+
+def test_bpe_early_stop_on_pairless_corpus(spark):
+    from mr_crawly_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "alone")], "doc_id long, text string"
+    )
+    assert bpe_merges(docs, n_merges=3).count() == 0
