@@ -265,6 +265,22 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iterations=5)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hub/authority (operators/frontier.py hits, Kleinberg 1999)
+    over the same part->supplier link graph as q_pagerank: 3 mutual power
+    iterations, max-normalized per half-step (order-independent — no
+    float-summation drift), 6dp clipping per half-step. The DuckDB oracle
+    unrolls every half-step as chained CTEs."""
+    from mr_crawly_spark.operators.frontier import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits(edges, n_iterations=3)
+
+
 def q_events_agg(spark, sf_dir):
     """G1-G3: metric aggregation with map-side combine."""
     events = load_table(spark, sf_dir, "events")
@@ -1401,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": q_retry_backoff,
         "priority_order": q_priority_order,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "events_agg": q_events_agg,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -1639,6 +1656,49 @@ def oracle_sql() -> dict[str, str]:
         return (
             f"WITH {ctes}\n"
             "            SELECT vec_id, cid::BIGINT AS cluster_id FROM afinal"
+        )
+
+    def hits_trajectory_sql(n_iter: int = 3) -> str:
+        """Unroll HITS (frontier.hits) half-step by half-step: raw mass =
+        per-node correlated sum, then round(v / max(v), 6) — max
+        normalization is order-independent, so the chained CTEs replay the
+        Spark trajectory exactly."""
+        parts = [
+            """edges AS (
+              SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+                              's' || l_suppkey::VARCHAR AS dst
+              FROM lineitem
+            )""",
+            "nodes AS (SELECT src AS url FROM edges"
+            " UNION SELECT dst FROM edges)",
+            "h0 AS (SELECT url, 1.0::DOUBLE AS hub FROM nodes)",
+        ]
+        for t in range(1, n_iter + 1):
+            parts.append(f"""ar{t} AS (
+              SELECT n.url, COALESCE((SELECT sum(h.hub) FROM edges e
+                                      JOIN h{t - 1} h ON h.url = e.src
+                                      WHERE e.dst = n.url), 0.0) AS v
+              FROM nodes n)""")
+            parts.append(
+                f"a{t} AS (SELECT url, round(v / (SELECT max(v) FROM ar{t}),"
+                f" 6) AS auth FROM ar{t})"
+            )
+            parts.append(f"""hr{t} AS (
+              SELECT n.url, COALESCE((SELECT sum(a.auth) FROM edges e
+                                      JOIN a{t} a ON a.url = e.dst
+                                      WHERE e.src = n.url), 0.0) AS v
+              FROM nodes n)""")
+            parts.append(
+                f"h{t} AS (SELECT url, round(v / (SELECT max(v) FROM hr{t}),"
+                f" 6) AS hub FROM hr{t})"
+            )
+        ctes = ",\n            ".join(parts)
+        return (
+            f"WITH {ctes}\n"
+            "            SELECT n.url, round(h.hub, 4) AS hub,"
+            " round(a.auth, 4) AS auth\n"
+            f"            FROM nodes n JOIN h{n_iter} h USING (url)\n"
+            f"            JOIN a{n_iter} a USING (url)"
         )
 
     def bpe_trajectory_sql(n_merges: int = 4) -> str:
@@ -2899,6 +2959,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
         "bpe": bpe_trajectory_sql(n_merges=4),
+        "hits": hits_trajectory_sql(n_iter=3),
         "embed_neardup": f"""
             WITH emb2 AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -341,3 +341,81 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("url", F.round(F.col("rank"), 4).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg's HITS (JACM 1999) hub/authority scores over the link
+    graph — the complement to :func:`pagerank` for crawl prioritization:
+    authorities are pages worth fetching, hubs are pages worth re-parsing
+    for outlinks. Mutual power iteration:
+
+        auth_{t+1}(v) = Σ_{u->v} hub_t(u)
+        hub_{t+1}(u)  = Σ_{u->v} auth_{t+1}(v)
+
+    with MAX-normalization after each half-step. Kleinberg's convergence
+    is scale-free (any positive per-step scaling reaches the same
+    principal-eigenvector direction), and unlike the usual L2 norm a max
+    is order-independent — no float-summation drift across engines or
+    partitionings — so the DuckDB oracle replays the trajectory exactly.
+    Scores are additionally rounded to 6 dp at every half-step, clipping
+    residual per-node sum drift before it can compound across iterations.
+
+    Each half-step is one equi-join + one map-side-combined sum keyed on
+    the receiving side, plus a 1-row max to the driver; frames
+    localCheckpoint per iteration so the plan never grows. Returns
+    (url, hub, auth) for every node, rounded to 4 dp.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .dropDuplicates(["url"])
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    if nodes.count() == 0:
+        return spark.createDataFrame([], "url string, hub double, auth double")
+
+    def _half_step(
+        mass: DataFrame, mass_col: str, out_col: str, key_in: str, key_out: str
+    ):
+        """One HITS half-step: ``mass_col`` flows from each edge's
+        ``key_in`` endpoint to its ``key_out`` endpoint; returns the
+        rounded max-normalized (url, out_col) frame."""
+        raw = (
+            nodes.join(
+                e.join(mass, e[key_in] == mass.url)
+                .select(F.col(key_out).alias("_to"), F.col(mass_col).alias("_m"))
+                .groupBy("_to")
+                .agg(F.sum("_m").alias("_v")),
+                nodes.url == F.col("_to"),
+                "left",
+            )
+            .select("url", F.coalesce(F.col("_v"), F.lit(0.0)).alias("_v"))
+            .localCheckpoint()
+        )
+        mx = raw.agg(F.max("_v")).collect()[0][0]
+        return raw.select(
+            "url", F.round(F.col("_v") / F.lit(float(mx)), 6).alias(out_col)
+        )
+
+    hub = nodes.select("url", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iterations):
+        auth = _half_step(hub, "hub", "auth", "src", "dst")
+        hub = _half_step(auth, "auth", "hub", "dst", "src")
+    scores = nodes.join(hub, "url").join(auth, "url")
+    return scores.select(
+        "url",
+        F.round(F.col("hub"), 4).alias("hub"),
+        F.round(F.col("auth"), 4).alias("auth"),
+    )

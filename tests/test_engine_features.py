@@ -502,3 +502,55 @@ def test_star_cc_truncated_run_raises(spark):
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         D.connected_components_star(ids, pairs, max_iterations=1)
+
+
+def test_hits_matches_python_power_iteration(spark):
+    """HITS on a known graph vs a python reference of the same variant
+    (max-normalized, 6dp per half-step): the star center must dominate
+    authority, its pointers must dominate hubs."""
+    from mr_crawly_spark.operators.frontier import hits
+
+    raw_edges = [("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("x", "a")]
+    edges = spark.createDataFrame(raw_edges, "src string, dst string")
+    got = {
+        r["url"]: (r["hub"], r["auth"])
+        for r in hits(edges, n_iterations=5).collect()
+    }
+    nodes = sorted({n for e in raw_edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        auth = {
+            v: sum(hub[u] for u, w in raw_edges if w == v) for v in nodes
+        }
+        mx = max(auth.values())
+        auth = {v: round(x / mx, 6) for v, x in auth.items()}
+        hub = {
+            u: sum(auth[w] for s, w in raw_edges if s == u) for u in nodes
+        }
+        mx = max(hub.values())
+        hub = {u: round(x / mx, 6) for u, x in hub.items()}
+    for n in nodes:
+        assert got[n] == (round(hub[n], 4), round(auth[n], 4)), (n, got[n])
+    # structural sanity: x is the dominant authority, a the dominant hub
+    assert got["x"][1] == 1.0 and got["a"][0] == 1.0
+
+
+def test_hits_partition_invariance(spark):
+    from mr_crawly_spark.operators.frontier import hits
+
+    edges = spark.createDataFrame(
+        [(f"u{i % 7}", f"v{i % 5}") for i in range(60)],
+        "src string, dst string",
+    )
+    a = sorted(map(tuple, hits(edges, n_iterations=3).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(13), n_iterations=3).collect()))
+    assert a == b
+
+
+def test_hits_empty_graph_returns_empty(spark):
+    from mr_crawly_spark.operators.frontier import hits
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = hits(edges, n_iterations=3)
+    assert out.count() == 0
+    assert out.columns == ["url", "hub", "auth"]
