@@ -1275,6 +1275,18 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact type-7 token-count quantiles per source via the
+    histogram+rank-straddle plan (operators/curation.py length_quantiles —
+    never serializes a group's values). The DuckDB oracle is DELIBERATELY
+    a different algorithm: its native quantile_cont over the raw values —
+    so histogram/cumsum/rank bugs cannot self-confirm."""
+    from mr_crawly_spark.operators.curation import length_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_quantiles(docs, probs=(0.25, 0.5, 0.9, 0.99))
+
+
 def q_bpe(spark, sf_dir):
     """BPE merge learning (operators/bpe.py, Sennrich et al. 2016): the
     first 4 merge rules learned corpus-wide — per round ONE
@@ -1466,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "kmeans": q_kmeans,
         "bpe": q_bpe,
+        "length_quantiles": q_length_quantiles,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -2960,6 +2973,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
         "bpe": bpe_trajectory_sql(n_merges=4),
         "hits": hits_trajectory_sql(n_iter=3),
+        "length_quantiles": f"""
+            -- independent algorithm on purpose: DuckDB's native
+            -- quantile_cont over raw values vs Spark's histogram plan
+            -- (quantile_cont only takes constant probs -> one agg each)
+            WITH d AS (SELECT source, len({toks})::BIGINT AS v FROM documents),
+            qs AS (
+              SELECT source,
+                     quantile_cont(v, 0.25) AS q25,
+                     quantile_cont(v, 0.5)  AS q50,
+                     quantile_cont(v, 0.9)  AS q90,
+                     quantile_cont(v, 0.99) AS q99
+              FROM d GROUP BY source
+            )
+            SELECT source, p, round(q, 4) AS q FROM (
+              SELECT source, 0.25::DOUBLE AS p, q25 AS q FROM qs
+              UNION ALL SELECT source, 0.5::DOUBLE, q50 FROM qs
+              UNION ALL SELECT source, 0.9::DOUBLE, q90 FROM qs
+              UNION ALL SELECT source, 0.99::DOUBLE, q99 FROM qs
+            )
+        """,
         "embed_neardup": f"""
             WITH emb2 AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

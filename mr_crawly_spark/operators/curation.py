@@ -715,3 +715,82 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_j)
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT type-7 (quantile_cont) token-count quantiles per group,
+    computed the 100-TB-safe way: never serialize a group's values.
+
+    Spark's exact ``percentile()`` aggregate buffers EVERY value of a
+    group in one task — a straight OOM at web scale. Token counts are
+    small integers, so the full distribution compresses losslessly into a
+    histogram: ONE map-side-combined groupBy (post-agg rows = distinct
+    lengths per group, thousands at most regardless of corpus size), a
+    per-group cumulative window over that tiny histogram, and a
+    rank-straddle join per requested probability. Exact to the last
+    interpolated digit, validated against DuckDB's independent
+    quantile_cont implementation (the oracle does NOT mirror this plan —
+    it sorts raw values — so a histogram/rank bug cannot self-confirm).
+
+    Returns (group_col, p, q): the interpolated quantile q of whitespace
+    token counts for each probability p, rounded to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    hist = (
+        docs.groupBy(
+            F.col(group_col).alias("_g"),
+            F.size(tokens(F.col(text_col))).cast("bigint").alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(Window.partitionBy("_g").orderBy("_v")),
+        )
+    )
+    totals = hist.groupBy("_g").agg(F.max("_cum").alias("_n"))
+    probs_df = spark.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    pr = (
+        totals.crossJoin(F.broadcast(probs_df))
+        .withColumn("_pos", F.col("p") * (F.col("_n") - 1))
+        .withColumn("_k_lo", F.floor("_pos").cast("bigint"))
+        .withColumn(
+            "_k_hi", F.least(F.col("_k_lo") + 1, F.col("_n") - 1)
+        )
+        .withColumn("_frac", F.col("_pos") - F.col("_k_lo"))
+    )
+
+    def _value_at(rank_col: str, out: str) -> DataFrame:
+        # value at 0-indexed rank k = min histogram value whose cumulative
+        # count covers k+1; the non-equi part only scans the group's own
+        # (tiny) histogram slice after the equi-join on _g
+        return (
+            pr.select("_g", "p", rank_col)
+            .join(hist.select("_g", "_v", "_cum"), "_g")
+            .filter(F.col("_cum") >= F.col(rank_col) + 1)
+            .groupBy("_g", "p")
+            .agg(F.min("_v").alias(out))
+        )
+
+    lo = _value_at("_k_lo", "_v_lo")
+    hi = _value_at("_k_hi", "_v_hi")
+    return (
+        pr.join(lo, ["_g", "p"]).join(hi, ["_g", "p"])
+        .select(
+            F.col("_g").alias(group_col),
+            "p",
+            F.round(
+                F.col("_v_lo")
+                + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo")),
+                4,
+            ).alias("q"),
+        )
+    )

@@ -538,3 +538,45 @@ def test_bpe_early_stop_on_pairless_corpus(spark):
         [(1, "solo"), (2, "alone")], "doc_id long, text string"
     )
     assert bpe_merges(docs, n_merges=3).count() == 0
+
+
+# ---- exact histogram quantiles (curation.length_quantiles) -------------- #
+
+
+def test_length_quantiles_match_numpy_type7(spark):
+    """The histogram+rank-straddle plan must equal numpy's default
+    'linear' (type-7) percentile on a known multiset, including
+    interpolated positions and duplicate-heavy histograms."""
+    import numpy as np
+
+    from mr_crawly_spark.operators.curation import length_quantiles
+
+    lengths = {"a": [1, 2, 2, 2, 3, 10, 50], "b": [7], "c": [4, 8]}
+    rows = [
+        (g, " ".join("w" for _ in range(n)))
+        for g, ls in lengths.items()
+        for n in ls
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    probs = (0.25, 0.5, 0.9, 0.99)
+    got = {
+        (r["source"], r["p"]): r["q"]
+        for r in length_quantiles(docs, probs=probs).collect()
+    }
+    for g, ls in lengths.items():
+        for p in probs:
+            want = round(float(np.percentile(ls, p * 100)), 4)
+            assert got[(g, p)] == want, (g, p, got[(g, p)], want)
+
+
+def test_length_quantiles_partition_invariance(spark):
+    from mr_crawly_spark.operators.curation import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(f"s{i % 3}", " ".join("w" for _ in range(1 + i * 7 % 23)))
+         for i in range(60)],
+        "source string, text string",
+    )
+    a = sorted(map(tuple, length_quantiles(docs).collect()))
+    b = sorted(map(tuple, length_quantiles(docs.repartition(13)).collect()))
+    assert a == b
