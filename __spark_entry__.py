@@ -281,6 +281,29 @@ def q_hits(spark, sf_dir):
     return hits(edges, n_iterations=3)
 
 
+def q_asof(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every click event attaches
+    the same user's most recent prior view (inclusive at equal ts) — the
+    attribution query. The DuckDB oracle is its NATIVE ASOF LEFT JOIN, an
+    entirely independent implementation, so carry-forward/ordering/tie
+    bugs cannot self-confirm. Views are pre-aggregated to one row per
+    (user, ts) — the uniqueness contract both engines need."""
+    from mr_crawly_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="view_ts"
+    )
+
+
 def q_events_agg(spark, sf_dir):
     """G1-G3: metric aggregation with map-side combine."""
     events = load_table(spark, sf_dir, "events")
@@ -1430,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_order": q_priority_order,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "asof": q_asof,
         "events_agg": q_events_agg,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -2973,6 +2997,22 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
         "bpe": bpe_trajectory_sql(n_merges=4),
         "hits": hits_trajectory_sql(n_iter=3),
+        "asof": """
+            -- independent implementation on purpose: DuckDB's native ASOF
+            -- JOIN vs Spark's union + carry-forward window
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            r AS (
+              SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, r.view_ts, r.view_event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.view_ts
+        """,
         "length_quantiles": f"""
             -- independent algorithm on purpose: DuckDB's native
             -- quantile_cont over raw values vs Spark's histogram plan
