@@ -1298,6 +1298,28 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_hll(spark, sf_dir):
+    """HyperLogLog distinct estimate (operators/sketches.py) over
+    lineitem's composite (orderkey, linenumber) key — ~6*sf*10^4 distinct
+    values, so at b=10 the RAW alpha-m^2 estimator path runs (not just
+    linear counting; the tiny-vocab linear path is pytest-covered). The
+    fixed-memory contract: registers are ONE map-side-combined agg
+    bounded at 2^b rows at any input size. The DuckDB oracle replays
+    hash/bucket/rank/estimate bit-for-bit (integer bin-length rank,
+    shared 60-bit md5 hash)."""
+    from mr_crawly_spark.operators.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k")
+    )
+    return hll_distinct(keys, "k", b=10)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact type-7 token-count quantiles per source via the
     histogram+rank-straddle plan (operators/curation.py length_quantiles —
@@ -1503,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "bpe": q_bpe,
         "length_quantiles": q_length_quantiles,
+        "hll": q_hll,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -2997,6 +3020,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": kmeans_trajectory_sql(k=8, n_iter=2),
         "bpe": bpe_trajectory_sql(n_merges=4),
         "hits": hits_trajectory_sql(n_iter=3),
+        "hll": f"""
+            WITH tok AS (
+              SELECT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+                       AS t
+              FROM lineitem
+            ),
+            h AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                  FROM tok),
+            regs AS (
+              SELECT h & 1023 AS bucket,
+                     max(CASE WHEN (h >> 10) = 0 THEN 51
+                              ELSE 50 - length(bin(h >> 10)) + 1
+                         END)::INT AS rho
+              FROM h GROUP BY 1
+            ),
+            a AS (SELECT count(*)::BIGINT AS p,
+                         sum(power(2.0, -rho)) AS s FROM regs)
+            SELECT 1024::BIGINT AS m, (1024 - p)::BIGINT AS v_empty,
+                   round(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024.0))
+                                   * 1024 * 1024 / (s + (1024 - p))
+                                   <= 2.5 * 1024
+                              AND (1024 - p) > 0
+                         THEN 1024.0 * ln(1024.0 / (1024 - p))
+                         ELSE (0.7213 / (1.0 + 1.079 / 1024.0))
+                              * 1024 * 1024 / (s + (1024 - p))
+                         END, 4) AS est
+            FROM a
+        """,
         "asof": """
             -- independent implementation on purpose: DuckDB's native ASOF
             -- JOIN vs Spark's union + carry-forward window
