@@ -1320,6 +1320,20 @@ def q_hll(spark, sf_dir):
     return hll_distinct(keys, "k", b=10)
 
 
+def q_cms(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py): build d=4 x w=1024
+    tables over lineitem part keys (more distinct keys than buckets, so
+    collisions genuinely exercise the min-over-rows), then point-query
+    every distinct key. The DuckDB oracle replays build AND probe
+    bit-for-bit (independent per-row md5 hashes)."""
+    from mr_crawly_spark.operators.sketches import cms_query, cms_tables
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_partkey").cast("string").alias("k"))
+    tables = cms_tables(vals, "k", d=4, w=1024)
+    return cms_query(tables, vals.distinct(), "k", d=4, w=1024)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact type-7 token-count quantiles per source via the
     histogram+rank-straddle plan (operators/curation.py length_quantiles —
@@ -1526,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe": q_bpe,
         "length_quantiles": q_length_quantiles,
         "hll": q_hll,
+        "cms": q_cms,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -3047,6 +3062,26 @@ def oracle_sql() -> dict[str, str]:
                               * 1024 * 1024 / (s + (1024 - p))
                          END, 4) AS est
             FROM a
+        """,
+        "cms": """
+            WITH vals AS (SELECT l_partkey::VARCHAR AS k FROM lineitem),
+            rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+            tab AS (
+              SELECT row,
+                     ('0x' || substr(md5(row::VARCHAR || '|' || k), 1, 15))
+                       ::BIGINT % 1024 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM vals, rows GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT k, row,
+                     ('0x' || substr(md5(row::VARCHAR || '|' || k), 1, 15))
+                       ::BIGINT % 1024 AS bucket
+              FROM (SELECT DISTINCT k FROM vals), rows
+            )
+            SELECT p.k, min(coalesce(t.cnt, 0))::BIGINT AS est
+            FROM probe p LEFT JOIN tab t USING (row, bucket)
+            GROUP BY p.k
         """,
         "asof": """
             -- independent implementation on purpose: DuckDB's native ASOF

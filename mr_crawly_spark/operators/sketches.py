@@ -83,3 +83,59 @@ def hll_estimate(registers: DataFrame, b: int = 12) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str, b: int = 12) -> DataFrame:
     """Convenience: registers + estimate in one call."""
     return hll_estimate(hll_registers(df, col, b), b)
+
+
+def cms_tables(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) build pass: ``d``
+    independent hash rows x ``w`` buckets. ONE explode-by-d (constant
+    fan-out) + ONE map-side-combined agg whose post-agg size is <= d*w
+    rows at any input size. Tables are SUM-mergeable: union shard tables
+    and re-sum — bit-identical to one pass (counts are exact longs), so
+    the sketch is incremental across shards/days/streams like
+    :func:`hll_registers`.
+
+    Row hashes are the repo-standard 60-bit md5 prefix of ``i || '|' ||
+    value`` — independent per row, replayable in DuckDB."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(d)])
+    ).alias("row")
+    h = _hash60(
+        F.concat_ws("|", F.col("row").cast("string"), F.col(col))
+    )
+    return (
+        df.select(F.col(col), rows)
+        .select("row", F.pmod(h, F.lit(w)).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    tables: DataFrame,
+    items: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates: for each item, min over the d rows of
+    its bucket's count (missing bucket = 0). Never underestimates; the
+    overestimate is bounded by e*N/w with probability 1 - e^-d. The probe
+    is a broadcast-sized equi-join on (row, bucket) — at scale the d*w
+    table is KBs, so Catalyst broadcasts it and the probe is map-side."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+    h = _hash60(F.concat_ws("|", F.col("row").cast("string"), F.col(col)))
+    probes = items.select(F.col(col), rows).select(
+        col, "row", F.pmod(h, F.lit(w)).alias("bucket")
+    )
+    return (
+        probes.join(tables, ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -72,3 +72,94 @@ def test_hll_register_table_is_bounded(spark):
 def test_hll_b_out_of_range_raises(spark):
     with pytest.raises(ValueError, match="b must be"):
         hll_registers(_ids(spark, 0, 10), "v", b=2)
+
+
+# ---- count-min sketch ---------------------------------------------------- #
+
+
+def _skewed(spark):
+    """Zipf-ish multiset: value j appears ~(60 // (j+1)) times."""
+    rows = [(f"v{j}",) for j in range(40) for _ in range(60 // (j + 1))]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from collections import Counter
+
+    from mr_crawly_spark.operators.sketches import cms_query, cms_tables
+
+    df = _skewed(spark)
+    truth = Counter(r["k"] for r in df.collect())
+    # w >> distinct values: collisions are possible but rare; estimates
+    # must NEVER be below truth, and the heavy hitter must be exact-ish
+    t = cms_tables(df, "k", d=4, w=4096)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_query(t, df.distinct(), "k", d=4, w=4096).collect()
+    }
+    assert set(est) == set(truth)
+    for k, c in truth.items():
+        assert est[k] >= c, (k, est[k], c)
+    assert est["v0"] == truth["v0"]
+
+
+def test_cms_overestimate_bound_under_collisions(spark):
+    """w=16 forces heavy collisions on 40 keys: estimates still never
+    drop below truth, and min-over-d keeps the error within the e*N/w
+    envelope (N=233, w=16 -> eN/w ~ 40)."""
+    from collections import Counter
+
+    from mr_crawly_spark.operators.sketches import cms_query, cms_tables
+
+    df = _skewed(spark)
+    truth = Counter(r["k"] for r in df.collect())
+    n = sum(truth.values())
+    t = cms_tables(df, "k", d=4, w=16)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_query(t, df.distinct(), "k", d=4, w=16).collect()
+    }
+    for k, c in truth.items():
+        assert est[k] >= c
+        assert est[k] - c <= 2.72 * n / 16 + 1
+
+
+def test_cms_table_merge_equals_single_pass(spark):
+    """Sum-merge of shard tables must be bit-identical to one pass —
+    counts are exact longs, so this is equality, not approximation."""
+    from pyspark.sql import functions as F
+
+    from mr_crawly_spark.operators.sketches import cms_query, cms_tables
+
+    df = _skewed(spark)
+    half_a = df.limit(100)
+    half_b = df.subtract(spark.createDataFrame([], "k string"))  # full set
+    t_a = cms_tables(half_a, "k", d=3, w=64)
+    t_full = cms_tables(df, "k", d=3, w=64)
+    # merge a + (full - a): build the complement deterministically instead
+    # of relying on limit()'s row choice — use two disjoint halves by key
+    left = df.filter(F.substring("k", 2, 10).cast("int") % 2 == 0)
+    right = df.filter(F.substring("k", 2, 10).cast("int") % 2 == 1)
+    merged = (
+        cms_tables(left, "k", d=3, w=64)
+        .unionByName(cms_tables(right, "k", d=3, w=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    q1 = sorted(
+        map(tuple, cms_query(merged, df.distinct(), "k", d=3, w=64).collect())
+    )
+    q2 = sorted(
+        map(tuple, cms_query(t_full, df.distinct(), "k", d=3, w=64).collect())
+    )
+    assert q1 == q2
+    assert t_a.count() <= 3 * 64
+
+
+def test_cms_params_validated(spark):
+    import pytest as _pt
+
+    from mr_crawly_spark.operators.sketches import cms_tables
+
+    with _pt.raises(ValueError, match="d >= 1"):
+        cms_tables(_skewed(spark), "k", d=0, w=8)
