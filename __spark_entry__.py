@@ -1346,6 +1346,20 @@ def q_length_quantiles(spark, sf_dir):
     return length_quantiles(docs, probs=(0.25, 0.5, 0.9, 0.99))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sampling (curation.weighted_sample): top-100 docs by
+    u^(1/n_tokens) — inclusion proportional to token count, the standard
+    token-budget draw. RNG-free md5 u + 12dp rank rounding means the
+    DuckDB oracle selects the IDENTICAL sample."""
+    from mr_crawly_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return weighted_sample(d, k=100, weight_col="n_tokens", salt="bench")
+
+
 def q_bpe(spark, sf_dir):
     """BPE merge learning (operators/bpe.py, Sennrich et al. 2016): the
     first 4 merge rules learned corpus-wide — per round ONE
@@ -1541,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "hll": q_hll,
         "cms": q_cms,
+        "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
         "para_dedup": q_para_dedup,
@@ -3062,6 +3077,19 @@ def oracle_sql() -> dict[str, str]:
                               * 1024 * 1024 / (s + (1024 - p))
                          END, 4) AS est
             FROM a
+        """,
+        "weighted_sample": f"""
+            WITH d AS (
+              SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(pow(
+                     (('0x' || substr(md5('bench|' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT + 1)
+                       / 1152921504606846976.0,
+                     1.0 / n_tokens), 12) AS _rank
+            FROM d WHERE n_tokens > 0
+            ORDER BY _rank DESC, doc_id LIMIT 100
         """,
         "cms": """
             WITH vals AS (SELECT l_partkey::VARCHAR AS k FROM lineitem),

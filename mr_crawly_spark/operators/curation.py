@@ -794,3 +794,48 @@ def length_quantiles(
             ).alias("q"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    A-ES): rank every row by u^(1/w) with u uniform in (0,1] and keep the
+    top k — each row's inclusion probability is proportional to its
+    weight, in one distributed pass.
+
+    RNG-free like every sampler in this module: u derives from the 60-bit
+    md5 prefix of (salt | key), so reruns, resumes, and repartitions draw
+    the SAME sample, and a different ``salt`` draws a fresh independent
+    one. The rank is rounded to 12 dp before ordering (u is exact integer
+    math, but pow() may differ by 1 ulp across engines; 12 dp is far
+    below any real rank gap and lets the DuckDB oracle reproduce the
+    exact selection), ties break on the key. The top-k runs as
+    TakeOrderedAndProject — per-partition heads, no global sort, no
+    driver collection beyond k rows.
+
+    Rows with weight <= 0 or null are excluded (A-ES domain). Returns the
+    sampled rows with their ``_rank``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    rk = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    return (
+        docs.filter(w > 0)
+        .withColumn("_rank", rk)
+        .orderBy(F.desc("_rank"), F.asc(key_col))
+        .limit(int(k))
+    )

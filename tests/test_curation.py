@@ -580,3 +580,57 @@ def test_length_quantiles_partition_invariance(spark):
     a = sorted(map(tuple, length_quantiles(docs).collect()))
     b = sorted(map(tuple, length_quantiles(docs.repartition(13)).collect()))
     assert a == b
+
+
+# ---- A-ES weighted sampling (curation.weighted_sample) ------------------ #
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    """Across 30 independent salts, an item with weight 50 must be drawn
+    far more often than weight-1 items (A-ES inclusion ~ weight).
+    Deterministic per salt -> this is a fixed arithmetic fact."""
+    from mr_crawly_spark.operators.curation import weighted_sample
+
+    rows = [(0, 50.0)] + [(i, 1.0) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = 0
+    light_hits = 0
+    for s in range(30):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df, k=5, weight_col="w", salt=f"s{s}"
+            ).collect()
+        }
+        assert len(got) == 5
+        heavy_hits += 0 in got
+        light_hits += 1 in got
+    assert heavy_hits >= 25        # ~P(include) -> near 1 for w=50, k=5
+    assert light_hits <= 10        # a single light item is rarely drawn
+
+
+def test_weighted_sample_k_exceeds_n_returns_all_positive(spark):
+    from mr_crawly_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 9.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(df, 10, "w").collect()
+    )
+    assert got == [1, 5]  # zero/negative/null weights excluded
+
+
+def test_weighted_sample_partition_invariance(spark):
+    from mr_crawly_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(300)],
+        "doc_id long, w double",
+    )
+    a = sorted(map(tuple, weighted_sample(df, 20, "w").collect()))
+    b = sorted(
+        map(tuple, weighted_sample(df.repartition(17), 20, "w").collect())
+    )
+    assert a == b
