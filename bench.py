@@ -46,6 +46,15 @@ BENCH_QUERIES = [
     "dedup_e2e",
     # round 5c: exact-substring span removal
     "dedup_spans",
+    # round 5d: sketches, relational additions, clustering
+    "hll",
+    "cms",
+    "asof",
+    "length_quantiles",
+    "weighted_sample",
+    "kmeans",
+    "hits",
+    "bpe",
 ]
 
 

@@ -44,6 +44,11 @@ def asof_join(
     made explicit)."""
     keys = [on] if isinstance(on, str) else list(on)
     rvals = [c for c in right.columns if c not in keys]
+    if not rvals:
+        raise ValueError(
+            "right side has no non-key columns to carry; include at least "
+            f"the timestamp column (right_ts={right_ts!r})"
+        )
     overlap = set(rvals) & {c for c in left.columns if c not in keys}
     if overlap:
         raise ValueError(f"column collision across sides: {sorted(overlap)}")

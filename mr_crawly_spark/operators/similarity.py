@@ -233,6 +233,10 @@ def kmeans(
     ]
     if not cents:
         return embeddings.withColumn("_list_id", F.lit(None).cast("int")), []
+    # fewer vectors than requested clusters: every vector is its own seed
+    # (k collapses to n — the range(k) update below must not index past
+    # the seeds actually drawn)
+    k = len(cents)
     dim = len(cents[0])
     vecs = embeddings.select(id_col, vec_col)
     for _ in range(n_iter):

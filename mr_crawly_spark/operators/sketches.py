@@ -66,7 +66,12 @@ def hll_estimate(registers: DataFrame, b: int = 12) -> DataFrame:
     m = 1 << b
     agg = registers.agg(
         F.count(F.lit(1)).alias("_p"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        # coalesce: an EMPTY register table (no input seen yet) sums to
+        # null — the estimate must be 0 (linear counting with V = m),
+        # not null
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("_s"),
     )
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     raw = alpha * m * m / (F.col("_s") + (F.lit(m) - F.col("_p")))

@@ -100,3 +100,10 @@ def test_asof_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_asof_right_without_value_columns_raises(spark, sides):
+    left, _right = sides
+    bare = left.sparkSession.createDataFrame([("k1",)], "k string")
+    with pytest.raises(ValueError, match="no non-key columns"):
+        asof_join(left, bare, on="k", right_ts="rts")

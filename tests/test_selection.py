@@ -588,3 +588,17 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert {r["_list_id"] for r in assigned.collect()} == {0}
     assert len(cents) == 3
     assert cents[1] == cents[2] == [0.5, 0.5, 0.5]
+
+
+def test_kmeans_more_clusters_than_vectors_collapses_k(spark):
+    """k=8 on 3 vectors must not IndexError: every vector seeds its own
+    cluster and the trajectory proceeds with k = n."""
+    from mr_crawly_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans(df, k=8, n_iter=2)
+    assert len(cents) == 3
+    assert assigned.count() == 3

@@ -132,12 +132,8 @@ def test_cms_table_merge_equals_single_pass(spark):
     from mr_crawly_spark.operators.sketches import cms_query, cms_tables
 
     df = _skewed(spark)
-    half_a = df.limit(100)
-    half_b = df.subtract(spark.createDataFrame([], "k string"))  # full set
-    t_a = cms_tables(half_a, "k", d=3, w=64)
     t_full = cms_tables(df, "k", d=3, w=64)
-    # merge a + (full - a): build the complement deterministically instead
-    # of relying on limit()'s row choice — use two disjoint halves by key
+    # two disjoint deterministic halves by key parity
     left = df.filter(F.substring("k", 2, 10).cast("int") % 2 == 0)
     right = df.filter(F.substring("k", 2, 10).cast("int") % 2 == 1)
     merged = (
@@ -153,7 +149,7 @@ def test_cms_table_merge_equals_single_pass(spark):
         map(tuple, cms_query(t_full, df.distinct(), "k", d=3, w=64).collect())
     )
     assert q1 == q2
-    assert t_a.count() <= 3 * 64
+    assert t_full.count() <= 3 * 64
 
 
 def test_cms_params_validated(spark):
@@ -163,3 +159,12 @@ def test_cms_params_validated(spark):
 
     with _pt.raises(ValueError, match="d >= 1"):
         cms_tables(_skewed(spark), "k", d=0, w=8)
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from mr_crawly_spark.operators.sketches import hll_distinct
+
+    est = hll_distinct(
+        spark.createDataFrame([], "v string"), "v", b=8
+    ).collect()[0]
+    assert (est["m"], est["v_empty"], est["est"]) == (256, 256, 0.0)
