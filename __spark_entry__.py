@@ -1334,6 +1334,97 @@ def q_cms(spark, sf_dir):
     return cms_query(tables, vals.distinct(), "k", d=4, w=1024)
 
 
+def q_kmv(spark, sf_dir):
+    """KMV distinct sketch (operators/sketches.py kmv_sketch/estimate):
+    k=256 smallest distinct hashes of lineitem's composite key — far
+    more distincts than k, so the Bar-Yossef (k-1)/U_k estimator path
+    runs (the exact under-k path is pytest-covered). Pure integers
+    until the one final rounded division, so the DuckDB oracle replays
+    hash -> distinct -> k-smallest -> estimate bit-for-bit."""
+    from mr_crawly_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k")
+    )
+    return kmv_estimate(kmv_sketch(keys, "k", k=256), k=256)
+
+
+def q_kmv_sets(spark, sf_dir):
+    """KMV set algebra (kmv_set_stats) — the operation HLL registers
+    cannot do: Jaccard / intersection / union estimates between the
+    part keys REFERENCED by lineitem and the part keys in part (known
+    containment structure: referenced ⊆ catalog). k=128 < both
+    cardinalities forces the theta-sketch estimation path. The oracle
+    replays both sketches and the combined-k rule in SQL."""
+    from mr_crawly_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    a = kmv_sketch(
+        li.select(F.col("l_partkey").cast("string").alias("k")), "k", k=128
+    )
+    b = kmv_sketch(
+        part.select(F.col("p_partkey").cast("string").alias("k")), "k", k=128
+    )
+    return kmv_set_stats(a, b, k=128)
+
+
+def q_dd_quantiles(spark, sf_dir):
+    """DDSketch mergeable relative-error quantiles (dd_sketch +
+    dd_quantiles, Masson et al. VLDB'19) over document token counts at
+    alpha=0.02 — the fixed-memory twin of the exact length_quantiles
+    entry. Both engines bucket with ceil(round(ln(x)/D, 9)) where D is
+    the SAME python-computed double literal ln(gamma), so a last-ulp
+    libm difference cannot flip a boundary; estimates round to 6 dp."""
+    from mr_crawly_spark.operators.sketches import dd_quantiles, dd_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x")
+    )
+    sk = dd_sketch(toks, "x", alpha=0.02)
+    return dd_quantiles(sk, [0.25, 0.5, 0.9, 0.99], alpha=0.02)
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (operators/rangejoin.py): every click
+    event joined to the error events of the SAME user whose 600-second
+    aftermath window contains it — the point-in-interval shape Spark
+    would otherwise plan as a BroadcastNestedLoopJoin (plan-asserted in
+    tests/test_rangejoin.py). TIMESTAMP_NTZ becomes exact naive
+    MICROSECONDS since a fixed anchor (timestampdiff — no session-tz /
+    DST dependence, bit-identical to DuckDB's native micros
+    comparison); bucket_width = 600 s of micros keeps the interval
+    fan-out at <= 2. The DuckDB oracle is its native IEJoin over a
+    plain BETWEEN — an independent plan for the same semantics."""
+    from mr_crawly_spark.operators.rangejoin import range_join
+
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        micros.alias("p"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        micros.alias("lo"),
+        (micros + F.lit(600_000_000)).alias("hi"),
+    )
+    out = range_join(
+        clicks, errs, "p", "lo", "hi", bucket_width=600e6, on="user_id"
+    )
+    return out.select("click_id", "user_id", "err_id")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact type-7 token-count quantiles per source via the
     histogram+rank-straddle plan (operators/curation.py length_quantiles —
@@ -1555,6 +1646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "hll": q_hll,
         "cms": q_cms,
+        "kmv": q_kmv,
+        "kmv_sets": q_kmv_sets,
+        "dd_quantiles": q_dd_quantiles,
+        "range_join": q_range_join,
         "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
@@ -3110,6 +3205,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.k, min(coalesce(t.cnt, 0))::BIGINT AS est
             FROM probe p LEFT JOIN tab t USING (row, bucket)
             GROUP BY p.k
+        """,
+        "kmv": """
+            WITH tok AS (
+              SELECT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS t
+              FROM lineitem
+            ),
+            h AS (SELECT DISTINCT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                  FROM tok),
+            sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+            a AS (SELECT count(*)::BIGINT AS n_kept, max(h) AS hk FROM sk)
+            SELECT n_kept,
+                   round(CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+                              ELSE 255.0 / ((hk::DOUBLE + 1.0)
+                                            / 1152921504606846976.0)
+                         END, 4) AS est
+            FROM a
+        """,
+        "kmv_sets": """
+            WITH a AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR),
+                                                1, 15))::BIGINT AS h
+                FROM lineitem) ORDER BY h LIMIT 128
+            ),
+            b AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5(p_partkey::VARCHAR),
+                                                1, 15))::BIGINT AS h
+                FROM part) ORDER BY h LIMIT 128
+            ),
+            u AS (
+              SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+                SELECT h, 1 AS ia, NULL::INT AS ib FROM a
+                UNION ALL
+                SELECT h, NULL::INT AS ia, 1 AS ib FROM b)
+              GROUP BY h ORDER BY h LIMIT 128
+            ),
+            g AS (SELECT count(*)::BIGINT AS kk, max(h) AS hk,
+                         coalesce(sum(CASE WHEN ia = 1 AND ib = 1
+                                           THEN 1 ELSE 0 END), 0)::BIGINT AS m
+                  FROM u)
+            SELECT kk AS k_eff, m AS n_common,
+                   round(CASE WHEN kk = 0 THEN 0.0
+                              ELSE m::DOUBLE / kk::DOUBLE END, 4)
+                     AS jaccard_est,
+                   round((CASE WHEN kk = 0 THEN 0.0
+                               ELSE m::DOUBLE / kk::DOUBLE END)
+                         * (CASE WHEN kk < 128 THEN kk::DOUBLE
+                                 ELSE 127.0 / ((hk::DOUBLE + 1.0)
+                                               / 1152921504606846976.0)
+                            END), 4) AS inter_est,
+                   round(CASE WHEN kk < 128 THEN kk::DOUBLE
+                              ELSE 127.0 / ((hk::DOUBLE + 1.0)
+                                            / 1152921504606846976.0)
+                         END, 4) AS union_est
+            FROM g
+        """,
+        "dd_quantiles": f"""
+            -- DDSketch replay: the divisor is the SAME python double
+            -- literal ln(gamma) the Spark side folds in (alpha = 0.02)
+            WITH x AS (SELECT len({toks})::DOUBLE AS x FROM documents),
+            sk AS (
+              SELECT ceil(round(ln(x) / 0.040005334613699206, 9))::BIGINT
+                       AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM x WHERE x > 0 GROUP BY 1
+            ),
+            cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum
+                    FROM sk),
+            n AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n FROM sk),
+            pr AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p),
+            rk AS (SELECT p, n.n AS n,
+                          greatest(1, ceil(p * n.n))::BIGINT AS r
+                   FROM pr, n),
+            hit AS (SELECT rk.p, rk.n, min(cum.bucket) AS i
+                    FROM rk LEFT JOIN cum ON cum.cum >= rk.r
+                    GROUP BY 1, 2)
+            SELECT p, n,
+                   CASE WHEN n = 0 THEN NULL
+                        ELSE round(2.0 * power(1.0408163265306123, i)
+                                   / 2.0408163265306123, 6)
+                   END AS est
+            FROM hit ORDER BY p
+        """,
+        "range_join": """
+            -- independent plan on purpose: DuckDB's native IEJoin over a
+            -- raw BETWEEN vs Spark's bucketized equi-join rewrite
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            errs AS (
+              SELECT event_id AS err_id, user_id, ts AS err_ts FROM events
+              WHERE event_type = 'error'
+            )
+            SELECT c.click_id, c.user_id, e.err_id
+            FROM clicks c JOIN errs e
+              ON c.user_id = e.user_id
+             AND c.ts >= e.err_ts
+             AND c.ts <= e.err_ts + INTERVAL 600 SECOND
         """,
         "asof": """
             -- independent implementation on purpose: DuckDB's native ASOF

@@ -21,9 +21,37 @@ the large-range collision correction is irrelevant below ~10^17 items.
 
 Standard error is 1.04/sqrt(m): b=12 -> ~1.6%. For exact counts use
 countDistinct; this is the fixed-memory path.
+
+Also here:
+
+- KMV / k-minimum-values (Bar-Yossef et al. RANDOM'02; Beyer et al.
+  SIGMOD'07) — the DISTINCT sketch that, unlike HLL, supports set
+  INTERSECTION and Jaccard between corpora (the theta-sketch idea,
+  Dasgupta et al.). The sketch is the k smallest distinct 60-bit
+  hashes: one map-side-combined distinct + a TakeOrderedAndProject
+  (per-partition heads, never a global sort), <= k rows at any input
+  size. Merging shards = union + re-take-k-smallest, bit-identical to
+  one pass.
+- DDSketch (Masson, Rim & Lee, VLDB'19) — the MERGEABLE quantile
+  sketch with a RELATIVE-error guarantee: bucket = ceil(ln(x)/ln(gamma))
+  with gamma = (1+alpha)/(1-alpha), so any quantile estimate is within
+  alpha of the true value multiplicatively. Build = ONE map-side-
+  combined agg bounded at O(log_gamma(max/min)) rows at any input size;
+  buckets are SUM-mergeable across shards/days/streams (exact long
+  counts -> merge is bit-identical to one pass). The exact complement
+  lives in curation.length_quantiles; this is the fixed-memory /
+  incremental path.
+
+Cross-engine determinism for the new sketches: KMV is pure integer
+(hash order ties are impossible across DISTINCT hashes); DDSketch
+rounds ln(x)/ln(gamma) to 9 dp before ceil() so a last-ulp libm
+difference between the JVM and DuckDB cannot flip a bucket boundary,
+and rounds the reported estimate to 6 dp.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -144,3 +172,195 @@ def cms_query(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / k-minimum-values distinct sketch (intersectable, unlike HLL)
+# --------------------------------------------------------------------------
+
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest DISTINCT 60-bit hashes of ``col`` — one column
+    ``h``, <= k rows at any input size. Plan: map-side-combined
+    distinct (one shuffle) + TakeOrderedAndProject (per-partition
+    heads; the global sort never materializes). Merge shards with
+    :func:`kmv_merge` — bit-identical to sketching the unioned input."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.select(_hash60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Union shard sketches and re-take the k smallest distinct hashes.
+    Associative and idempotent: equals :func:`kmv_sketch` over the
+    concatenated raw inputs, bit for bit."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """One row (n_kept, est): if the sketch holds fewer than k hashes
+    the count was exact (est = n_kept); otherwise the Bar-Yossef
+    unbiased estimator DV = (k-1) / U_k with U_k = (k-th smallest hash
+    + 1) / 2^60. Rounded to 4 dp like :func:`hll_estimate`."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("_hk"),
+    )
+    uk = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / uk)
+    return agg.select(
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def kmv_set_stats(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Jaccard / intersection / union estimates from two KMV sketches —
+    the operation HLL registers cannot do. Theta-sketch rule (Beyer et
+    al. SIGMOD'07 §5): form the combined sketch X = k smallest distinct
+    hashes of (A ∪ B); with K = |X|,
+
+        jaccard = |{h in X : h in A AND h in B}| / K
+        union_est = K if K < k else (k-1)/U_k   (exact when both small)
+        inter_est = jaccard * union_est
+
+    Everything is integer until the two final divisions (4-dp rounded);
+    both sketch tables are <= k rows so the whole computation is a
+    KB-sized join no matter how large the sketched corpora were."""
+    a = sk_a.select("h", F.lit(1).alias("_a"))
+    b = sk_b.select("h", F.lit(1).alias("_b"))
+    both = (
+        a.unionByName(b.withColumnRenamed("_a", "_b"), allowMissingColumns=True)
+        .groupBy("h")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("_kk"),
+        F.max("h").alias("_hk"),
+        F.sum(
+            F.when((F.col("_a") == 1) & (F.col("_b") == 1), 1).otherwise(0)
+        ).alias("_m"),
+    )
+    uk = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    union_est = F.when(
+        F.col("_kk") < k, F.col("_kk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / uk)
+    jac = F.when(F.col("_kk") == 0, F.lit(0.0)).otherwise(
+        F.col("_m").cast("double") / F.col("_kk").cast("double")
+    )
+    return agg.select(
+        F.col("_kk").cast("bigint").alias("k_eff"),
+        F.col("_m").cast("bigint").alias("n_common"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+        F.round(union_est, 4).alias("union_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DDSketch — mergeable relative-error quantiles
+# --------------------------------------------------------------------------
+
+
+def _dd_gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_sketch(df: DataFrame, col: str, alpha: float = 0.01) -> DataFrame:
+    """(bucket, cnt) DDSketch table over the POSITIVE values of ``col``:
+    bucket = ceil(round(ln(x)/ln(gamma), 9)). ONE map-side-combined agg
+    whose post-agg size is O(log_gamma(max/min)) rows — a few hundred at
+    alpha=0.01 over any real length distribution — regardless of input
+    size. Non-positive values are excluded by contract (the sketch is
+    defined on x > 0; callers sketching signed data shift first).
+    Merge shard tables with unionByName -> groupBy(bucket).sum(cnt):
+    exact long counts, so the merge is bit-identical to one pass."""
+    gamma = _dd_gamma(alpha)
+    x = F.col(col).cast("double")
+    bucket = F.ceil(F.round(F.log(x) / F.lit(float(math.log(gamma))), 9))
+    return (
+        df.filter(x > 0)
+        .select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(tables: list[DataFrame]) -> DataFrame:
+    """Sum-merge shard sketch tables (associative, exact)."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantiles(
+    sketch: DataFrame, probs: list[float], alpha: float = 0.01
+) -> DataFrame:
+    """(p, est) for each probability: rank r = max(1, ceil(p * n)), est
+    = the gamma-midpoint 2*gamma^i/(gamma+1) of the first bucket whose
+    cumulative count reaches r — guaranteed within a factor (1 ± alpha)
+    of the true quantile (Masson et al. VLDB'19 Thm 1). The sketch
+    table is tiny, so the cumulative window and the rank-straddle join
+    are KB-sized regardless of the sketched corpus."""
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    if not probs:
+        raise ValueError("need at least one probability")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probability out of [0,1]: {p}")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("_cum")
+    )
+    n = sketch.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_n"))
+    pr = n.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        "_n",
+    ).select(
+        "p",
+        "_n",
+        F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n"))).alias("_r"),
+    )
+    hit = (
+        pr.join(cum, cum["_cum"] >= pr["_r"], "left")
+        .groupBy("p", "_n")
+        .agg(F.min("bucket").alias("_i"))
+    )
+    est = F.round(
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("_i").cast("double"))
+        / F.lit(float(gamma) + 1.0),
+        6,
+    )
+    return hit.select(
+        "p",
+        F.col("_n").cast("bigint").alias("n"),
+        F.when(F.col("_n") == 0, F.lit(None).cast("double"))
+        .otherwise(est)
+        .alias("est"),
+    ).orderBy("p")

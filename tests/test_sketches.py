@@ -168,3 +168,153 @@ def test_hll_empty_input_estimates_zero(spark):
         spark.createDataFrame([], "v string"), "v", b=8
     ).collect()[0]
     assert (est["m"], est["v_empty"], est["est"]) == (256, 256, 0.0)
+
+
+# --------------------------------------------------------------------------
+# KMV
+# --------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from mr_crawly_spark.operators.sketches import (  # noqa: E402
+    dd_merge,
+    dd_quantiles,
+    dd_sketch,
+    kmv_estimate,
+    kmv_merge,
+    kmv_set_stats,
+    kmv_sketch,
+)
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distincts than k: the sketch IS the distinct set and the
+    estimate is exact."""
+    sk = kmv_sketch(_ids(spark, 0, 100), "v", k=256)
+    assert sk.count() == 100
+    row = kmv_estimate(sk, k=256).collect()[0]
+    assert row["n_kept"] == 100 and row["est"] == 100.0
+
+
+def test_kmv_accuracy_above_k(spark):
+    """30k distincts at k=512 (sigma ~ 1/sqrt(k) = 4.4%): the
+    deterministic hash makes this a fixed number; assert within 3
+    sigma. Duplicates must not inflate (sketch is over DISTINCT
+    hashes)."""
+    base = _ids(spark, 0, 30_000)
+    dup = base.unionByName(_ids(spark, 0, 10_000))
+    row = kmv_estimate(kmv_sketch(dup, "v", k=512), k=512).collect()[0]
+    assert row["n_kept"] == 512
+    assert abs(row["est"] - 30_000) / 30_000 < 0.14
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    """Shard sketches merged with kmv_merge must be BIT-identical to
+    one pass over the unioned input — the incremental contract."""
+    a = kmv_sketch(_ids(spark, 0, 5_000), "v", k=128)
+    b = kmv_sketch(_ids(spark, 3_000, 9_000), "v", k=128)  # overlapping
+    merged = sorted(r["h"] for r in kmv_merge([a, b], k=128).collect())
+    one = sorted(
+        r["h"] for r in kmv_sketch(_ids(spark, 0, 9_000), "v", k=128).collect()
+    )
+    assert merged == one
+
+
+def test_kmv_set_stats_exact_when_small(spark):
+    """Both sets under k: jaccard/intersection/union are EXACT.
+    A = {0..599}, B = {400..999}: |A∩B| = 200, |A∪B| = 1000."""
+    a = kmv_sketch(_ids(spark, 0, 600), "v", k=2048)
+    b = kmv_sketch(_ids(spark, 400, 1000), "v", k=2048)
+    row = kmv_set_stats(a, b, k=2048).collect()[0]
+    assert row["k_eff"] == 1000
+    assert row["union_est"] == 1000.0
+    assert row["jaccard_est"] == 0.2
+    assert row["inter_est"] == 200.0
+
+
+def test_kmv_set_stats_estimates_at_scale(spark):
+    """20k ∪ 20k with 10k overlap (true J = 1/3) at k=1024: the
+    theta-sketch estimates must land within ~3/sqrt(k) of truth."""
+    a = kmv_sketch(_ids(spark, 0, 20_000), "v", k=1024)
+    b = kmv_sketch(_ids(spark, 10_000, 30_000), "v", k=1024)
+    row = kmv_set_stats(a, b, k=1024).collect()[0]
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(row["union_est"] - 30_000) / 30_000 < 0.14
+    assert abs(row["inter_est"] - 10_000) / 10_000 < 0.25
+
+
+def test_kmv_validation(spark):
+    with pytest.raises(ValueError):
+        kmv_sketch(_ids(spark, 0, 10), "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_merge([], k=16)
+
+
+# --------------------------------------------------------------------------
+# DDSketch
+# --------------------------------------------------------------------------
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "x double")
+
+
+def test_dd_relative_error_guarantee(spark):
+    """The VLDB'19 Thm-1 contract: every estimated quantile is within a
+    (1 ± alpha) factor of the true quantile. 1..10000 at alpha=0.01,
+    checked at seven probabilities against numpy-free exact ranks."""
+    n = 10_000
+    df = spark.range(1, n + 1).select(F.col("id").cast("double").alias("x"))
+    alpha = 0.01
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    rows = dd_quantiles(dd_sketch(df, "x", alpha), probs, alpha).collect()
+    assert len(rows) == len(probs)
+    for r in rows:
+        # over 1..n the true q-quantile at rank ceil(p*n) is the rank itself
+        true = float(max(1, math.ceil(r["p"] * n)))
+        assert abs(r["est"] - true) <= alpha * true + 1e-9, (r["p"], r["est"], true)
+
+
+def test_dd_merge_equals_single_pass(spark):
+    """Shard sketches sum-merged must be bit-identical (bucket, cnt)
+    sets to one pass — exact long counts, no float in the build."""
+    a = dd_sketch(_vals(spark, range(1, 501)), "x", 0.02)
+    b = dd_sketch(_vals(spark, range(300, 1200)), "x", 0.02)
+    merged = sorted(
+        (r["bucket"], r["cnt"]) for r in dd_merge([a, b]).collect()
+    )
+    one = sorted(
+        (r["bucket"], r["cnt"])
+        for r in dd_sketch(
+            _vals(spark, list(range(1, 501)) + list(range(300, 1200))), "x", 0.02
+        ).collect()
+    )
+    assert merged == one
+
+
+def test_dd_sketch_size_is_bounded(spark):
+    """100k values spanning 1..10^5 at alpha=0.01: bucket count must be
+    O(log_gamma(max/min)) ~ ln(10^5)/ln(1.0202) ~ 575, not O(n)."""
+    df = spark.range(1, 100_001).select(F.col("id").cast("double").alias("x"))
+    assert dd_sketch(df, "x", 0.01).count() < 700
+
+
+def test_dd_nonpositive_excluded_and_empty(spark):
+    """x <= 0 is outside the sketch domain (documented contract); an
+    all-excluded input yields n=0 and null estimates, not a crash."""
+    rows = dd_quantiles(
+        dd_sketch(_vals(spark, [-3.0, 0.0]), "x", 0.05), [0.5], 0.05
+    ).collect()
+    assert rows[0]["n"] == 0 and rows[0]["est"] is None
+
+
+def test_dd_validation(spark):
+    df = _vals(spark, [1.0])
+    with pytest.raises(ValueError):
+        dd_sketch(df, "x", alpha=0.0)
+    with pytest.raises(ValueError):
+        dd_quantiles(dd_sketch(df, "x", 0.01), [], 0.01)
+    with pytest.raises(ValueError):
+        dd_quantiles(dd_sketch(df, "x", 0.01), [1.5], 0.01)
+    with pytest.raises(ValueError):
+        dd_merge([])
