@@ -1334,6 +1334,52 @@ def q_cms(spark, sf_dir):
     return cms_query(tables, vals.distinct(), "k", d=4, w=1024)
 
 
+def q_hll_by(spark, sf_dir):
+    """Per-group HLL (sketches.hll_distinct_by): approximate distinct
+    composite keys PER l_returnflag — the "distinct URLs per host"
+    shape where exact countDistinct-per-group would shuffle every raw
+    value; here ONE map-side-combined agg bounded at groups * 2^b rows.
+    The DuckDB oracle replays the grouped registers + estimator
+    bit-for-bit (same integer bin-length rank as the global hll
+    entry)."""
+    from mr_crawly_spark.operators.sketches import hll_distinct_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    return hll_distinct_by(keyed, ["grp"], "k", b=10)
+
+
+def q_text_norm(spark, sf_dir):
+    """CCNet-style dedup canonicalization (functions/text.py
+    normalized_text: lowercase -> accent-fold -> punctuation to space ->
+    collapse whitespace) over documents with PLANTED unicode variants
+    (every 5th doc gets accents/em-dash/uppercase appended — the corpus
+    itself is ASCII, so the planted suffix is what makes the
+    translate()/lower() parity non-vacuous). Returns the normalized
+    text AND its md5 so the hash-match covers every byte. Scan-only JVM
+    string ops — zero shuffles at any corpus size."""
+    from mr_crawly_spark.functions.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" Café—Über, NAÏVE šť!")
+        ).otherwise(F.lit("")),
+    )
+    norm = normalized_text(planted)
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_fp")
+    )
+
+
 def q_kmv(spark, sf_dir):
     """KMV distinct sketch (operators/sketches.py kmv_sketch/estimate):
     k=256 smallest distinct hashes of lineitem's composite key — far
@@ -1650,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sets": q_kmv_sets,
         "dd_quantiles": q_dd_quantiles,
         "range_join": q_range_join,
+        "hll_by": q_hll_by,
+        "text_norm": q_text_norm,
         "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
@@ -3205,6 +3253,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.k, min(coalesce(t.cnt, 0))::BIGINT AS est
             FROM probe p LEFT JOIN tab t USING (row, bucket)
             GROUP BY p.k
+        """,
+        "hll_by": """
+            WITH tok AS (
+              SELECT l_returnflag AS grp,
+                     l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS t
+              FROM lineitem
+            ),
+            h AS (SELECT grp, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                  FROM tok),
+            regs AS (
+              SELECT grp, h & 1023 AS bucket,
+                     max(CASE WHEN (h >> 10) = 0 THEN 51
+                              ELSE 50 - length(bin(h >> 10)) + 1
+                         END)::INT AS rho
+              FROM h GROUP BY 1, 2
+            ),
+            a AS (SELECT grp, count(*)::BIGINT AS p,
+                         sum(power(2.0, -rho)) AS s
+                  FROM regs GROUP BY 1)
+            SELECT grp,
+                   round(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024.0))
+                                   * 1024 * 1024 / (s + (1024 - p))
+                                   <= 2.5 * 1024
+                              AND (1024 - p) > 0
+                         THEN 1024.0 * ln(1024.0 / (1024 - p))
+                         ELSE (0.7213 / (1.0 + 1.079 / 1024.0))
+                              * 1024 * 1024 / (s + (1024 - p))
+                         END, 4) AS est
+            FROM a
+        """,
+        "text_norm": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' Café—Über, NAÏVE šť!'
+                                  ELSE '' END AS t
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       translate(lower(t),
+                                 '{T.ACCENT_SRC}',
+                                 '{T.ACCENT_DST}'),
+                       '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS norm_text
+              FROM planted
+            )
+            SELECT doc_id, norm_text, md5(norm_text) AS norm_fp FROM n
         """,
         "kmv": """
             WITH tok AS (

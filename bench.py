@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "kmeans",
     "hits",
     "bpe",
+    # round 5e: intersectable/quantile sketches, range join, canonicalization
+    "kmv",
+    "kmv_sets",
+    "dd_quantiles",
+    "range_join",
+    "hll_by",
+    "text_norm",
 ]
 
 

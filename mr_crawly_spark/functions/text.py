@@ -107,3 +107,32 @@ def shingles_of_tokens(toks: Column, n: int) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of raw text (for MinHash / Jaccard near-dup)."""
     return shingles_of_tokens(tokens(text), n)
+
+
+# CCNet-style normalization (Wenzek et al. LREC 2020 §4.1: lowercase,
+# strip accents, drop punctuation, collapse whitespace before hashing) —
+# the canonicalizer run BEFORE exact/near dedup so trivially-reformatted
+# copies collide. The accent map is an explicit literal (Latin-1 +
+# Latin-Extended-A common cases) shared verbatim with the DuckDB oracle:
+# translate() is dialect-identical in both engines, where NFD/unaccent
+# functions are not available in Spark SQL.
+ACCENT_SRC = (
+    "àáâãäåāăąçćčďđèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏő"
+    "ŕřśšşťùúûüũūŭůűųýÿžźż"
+)
+ACCENT_DST = (
+    "aaaaaaaaacccddeeeeeeeeeiiiiiiiii"
+    "nnnnooooooooorrssstuuuuuuuuuuyyzzz"
+)
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup canonical form: lowercase -> accent-fold -> punctuation to
+    space -> collapse whitespace -> trim. Scan-only JVM string ops (one
+    whole-stage-codegen projection, zero shuffles); compose with
+    fingerprint()/minhash over the normalized column to catch
+    case/punctuation/diacritic-variant duplicates exact dedup misses."""
+    folded = F.translate(F.lower(text), ACCENT_SRC, ACCENT_DST)
+    no_punct = F.regexp_replace(folded, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))

@@ -364,3 +364,66 @@ def dd_quantiles(
         .otherwise(est)
         .alias("est"),
     ).orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# Per-group HLL — approximate distinct counts BY KEY in one pass
+# --------------------------------------------------------------------------
+
+
+def hll_registers_by(
+    df: DataFrame, keys: list[str], col: str, b: int = 12
+) -> DataFrame:
+    """(keys…, bucket, rho) register table — the grouped twin of
+    :func:`hll_registers` for "distinct X per Y" at scale (distinct
+    URLs per host, distinct users per day) where exact countDistinct
+    per group would shuffle every raw value. ONE map-side-combined agg
+    bounded at n_groups * 2^b rows; merge shards with unionByName ->
+    groupBy(keys, bucket).max(rho), bit-identical to one pass."""
+    if not keys:
+        raise ValueError("keys must be non-empty; use hll_registers")
+    if not 4 <= b <= 28:
+        raise ValueError(f"b must be in [4, 28], got {b}")
+    m = 1 << b
+    w = 60 - b
+    h = _hash60(F.col(col))
+    rest = F.shiftright(h, b)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.conv(rest.cast("string"), 10, 2)) + 1
+    )
+    return (
+        df.select(
+            *keys,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("_rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, keys: list[str], b: int = 12
+) -> DataFrame:
+    """(keys…, est) — :func:`hll_estimate` applied per group: one more
+    map-side-combined agg over the register table (already tiny), the
+    same alpha_m * m^2 / sum(2^-rho) estimator and linear-counting
+    small-range branch, 4-dp rounded."""
+    m = 1 << b
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_p"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * m * m / (F.col("_s") + (F.lit(m) - F.col("_p")))
+    v = (F.lit(m) - F.col("_p")).cast("bigint")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias("est"))
+
+
+def hll_distinct_by(
+    df: DataFrame, keys: list[str], col: str, b: int = 12
+) -> DataFrame:
+    """Convenience: grouped registers + grouped estimate in one call."""
+    return hll_estimate_by(hll_registers_by(df, keys, col, b), keys, b)

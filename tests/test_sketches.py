@@ -318,3 +318,79 @@ def test_dd_validation(spark):
         dd_quantiles(dd_sketch(df, "x", 0.01), [1.5], 0.01)
     with pytest.raises(ValueError):
         dd_merge([])
+
+
+# --------------------------------------------------------------------------
+# Per-group HLL
+# --------------------------------------------------------------------------
+
+from mr_crawly_spark.operators.sketches import (  # noqa: E402
+    hll_distinct_by,
+    hll_estimate_by,
+    hll_registers_by,
+)
+
+
+def _grouped(spark):
+    # group g0: 8000 distincts, g1: 400, g2: 1 — spans both estimator paths
+    return (
+        spark.range(0, 8000)
+        .select(F.lit("g0").alias("g"), F.concat(F.lit("a-"), F.col("id")).alias("v"))
+        .unionByName(
+            spark.range(0, 400).select(
+                F.lit("g1").alias("g"), F.concat(F.lit("b-"), F.col("id")).alias("v")
+            )
+        )
+        .unionByName(
+            spark.range(0, 50).select(
+                F.lit("g2").alias("g"), F.lit("same").alias("v")
+            )
+        )
+    )
+
+
+def test_hll_by_accuracy_per_group(spark):
+    rows = {
+        r["g"]: r["est"]
+        for r in hll_distinct_by(_grouped(spark), ["g"], "v", b=11).collect()
+    }
+    assert abs(rows["g0"] - 8000) / 8000 < 0.07
+    assert abs(rows["g1"] - 400) / 400 < 0.08
+    assert abs(rows["g2"] - 1) < 0.5  # 50 copies of one value
+
+
+def test_hll_by_merge_equals_single_pass(spark):
+    a = hll_registers_by(_grouped(spark), ["g"], "v", b=10)
+    b = hll_registers_by(
+        spark.range(0, 3000).select(
+            F.lit("g0").alias("g"),
+            F.concat(F.lit("a-"), (F.col("id") + 6000)).alias("v"),
+        ),
+        ["g"],
+        "v",
+        b=10,
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    one = hll_registers_by(
+        _grouped(spark).unionByName(
+            spark.range(0, 3000).select(
+                F.lit("g0").alias("g"),
+                F.concat(F.lit("a-"), (F.col("id") + 6000)).alias("v"),
+            )
+        ),
+        ["g"],
+        "v",
+        b=10,
+    )
+    got = sorted(map(tuple, hll_estimate_by(merged, ["g"], b=10).collect()))
+    want = sorted(map(tuple, hll_estimate_by(one, ["g"], b=10).collect()))
+    assert got == want
+
+
+def test_hll_by_validation(spark):
+    with pytest.raises(ValueError):
+        hll_registers_by(_grouped(spark), [], "v")
