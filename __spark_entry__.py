@@ -1380,6 +1380,26 @@ def q_text_norm(spark, sf_dir):
     )
 
 
+def q_sim_join(spark, sf_dir):
+    """Exact set-similarity join (operators/setjoin.py similarity_join —
+    All-Pairs prefix filtering, Bayardo WWW'07 + PPJoin size filter):
+    every pair with token-Jaccard >= 0.8, COMPLETE and exact, over
+    documents + planted one-token-appended near-dup twins (every 10th
+    doc; J = n/(n+1) >= 0.8 keeps the check non-vacuous). The DuckDB
+    oracle is DELIBERATELY brute-force all-pairs — no prefix filter at
+    all — so a completeness bug (a candidate the prefix join misses)
+    cannot self-confirm."""
+    from mr_crawly_spark.operators.setjoin import similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return similarity_join(corpus, "doc_id", "text", threshold=0.8)
+
+
 def q_kmv(spark, sf_dir):
     """KMV distinct sketch (operators/sketches.py kmv_sketch/estimate):
     k=256 smallest distinct hashes of lineitem's composite key — far
@@ -1698,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_by": q_hll_by,
         "text_norm": q_text_norm,
+        "sim_join": q_sim_join,
         "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "domain_cap_sampled": q_domain_cap_sampled,
@@ -3253,6 +3274,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.k, min(coalesce(t.cnt, 0))::BIGINT AS est
             FROM probe p LEFT JOIN tab t USING (row, bucket)
             GROUP BY p.k
+        """,
+        "sim_join": f"""
+            -- independent algorithm ON PURPOSE: brute-force all-pairs
+            -- (no prefix filter) so a completeness bug cannot self-confirm
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' plantedtoken'
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            s AS (
+              SELECT doc_id,
+                     list_filter(list_distinct({toks}),
+                                 t -> length(t) > 0) AS tk
+              FROM corpus
+            ),
+            a AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM s
+                  WHERE len(tk) > 0)
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   round(len(list_intersect(x.tk, y.tk))::DOUBLE
+                         / (x.n + y.n
+                            - len(list_intersect(x.tk, y.tk)))::DOUBLE,
+                         4) AS jaccard
+            FROM a x JOIN a y ON x.doc_id < y.doc_id
+            WHERE len(list_intersect(x.tk, y.tk))::DOUBLE
+                  / (x.n + y.n - len(list_intersect(x.tk, y.tk)))::DOUBLE
+                  >= 0.8
         """,
         "hll_by": """
             WITH tok AS (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "range_join",
     "hll_by",
     "text_norm",
+    "sim_join",
 ]
 
 
