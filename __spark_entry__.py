@@ -1457,6 +1457,23 @@ def q_dd_quantiles(spark, sf_dir):
     return dd_quantiles(sk, [0.25, 0.5, 0.9, 0.99], alpha=0.02)
 
 
+def q_dd_by(spark, sf_dir):
+    """Grouped DDSketch (dd_sketch_by / dd_quantiles_by): token-count
+    quantiles PER SOURCE at alpha=0.02 — the fixed-memory, mergeable
+    twin of the exact length_quantiles entry (same corpus slice, so the
+    two entries cross-check each other's distributions). Same 9-dp
+    ln-ratio rounding contract as dd_quantiles."""
+    from mr_crawly_spark.operators.sketches import dd_quantiles_by, dd_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x"),
+    )
+    sk = dd_sketch_by(toks, ["source"], "x", alpha=0.02)
+    return dd_quantiles_by(sk, ["source"], [0.5, 0.9], alpha=0.02)
+
+
 def q_range_join(spark, sf_dir):
     """Bucketized range join (operators/rangejoin.py): every click
     event joined to the error events of the SAME user whose 600-second
@@ -1715,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv": q_kmv,
         "kmv_sets": q_kmv_sets,
         "dd_quantiles": q_dd_quantiles,
+        "dd_by": q_dd_by,
         "range_join": q_range_join,
         "hll_by": q_hll_by,
         "text_norm": q_text_norm,
@@ -3433,6 +3451,33 @@ def oracle_sql() -> dict[str, str]:
                                    / 2.0408163265306123, 6)
                    END AS est
             FROM hit ORDER BY p
+        """,
+        "dd_by": f"""
+            WITH x AS (SELECT source, len({toks})::DOUBLE AS x
+                       FROM documents),
+            sk AS (
+              SELECT source,
+                     ceil(round(ln(x) / 0.040005334613699206, 9))::BIGINT
+                       AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM x WHERE x > 0 GROUP BY 1, 2
+            ),
+            cum AS (SELECT source, bucket,
+                           sum(cnt) OVER (PARTITION BY source
+                                          ORDER BY bucket) AS cum
+                    FROM sk),
+            n AS (SELECT source, sum(cnt)::BIGINT AS n FROM sk GROUP BY 1),
+            pr AS (SELECT source, n, unnest([0.5, 0.9]) AS p FROM n),
+            rk AS (SELECT source, p, n,
+                          greatest(1, ceil(p * n))::BIGINT AS r FROM pr),
+            hit AS (SELECT rk.source, rk.p, rk.n, min(cum.bucket) AS i
+                    FROM rk LEFT JOIN cum
+                      ON cum.source = rk.source AND cum.cum >= rk.r
+                    GROUP BY 1, 2, 3)
+            SELECT source, p, n,
+                   round(2.0 * power(1.0408163265306123, i)
+                         / 2.0408163265306123, 6) AS est
+            FROM hit
         """,
         "range_join": """
             -- independent plan on purpose: DuckDB's native IEJoin over a

@@ -427,3 +427,88 @@ def hll_distinct_by(
 ) -> DataFrame:
     """Convenience: grouped registers + grouped estimate in one call."""
     return hll_estimate_by(hll_registers_by(df, keys, col, b), keys, b)
+
+
+def dd_sketch_by(
+    df: DataFrame, keys: list[str], col: str, alpha: float = 0.01
+) -> DataFrame:
+    """(keys…, bucket, cnt) — the grouped twin of :func:`dd_sketch` for
+    "quantiles of X per Y" (token counts per source / latencies per
+    host) with the same relative-error and sum-mergeability contracts;
+    ONE map-side-combined agg bounded at n_groups * O(log_gamma(max/min))
+    rows. Merge shards with unionByName -> groupBy(keys, bucket).sum."""
+    if not keys:
+        raise ValueError("keys must be non-empty; use dd_sketch")
+    gamma = _dd_gamma(alpha)
+    x = F.col(col).cast("double")
+    bucket = F.ceil(F.round(F.log(x) / F.lit(float(math.log(gamma))), 9))
+    return (
+        df.filter(x > 0)
+        .select(*keys, bucket.cast("bigint").alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_quantiles_by(
+    sketch: DataFrame,
+    keys: list[str],
+    probs: list[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """(keys…, p, est) — :func:`dd_quantiles` per group: the cumulative
+    window partitions by the keys, the rank-straddle join adds the keys
+    as equi-conditions. Still KB-sized per group at any corpus size."""
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    if not keys:
+        raise ValueError("keys must be non-empty; use dd_quantiles")
+    if not probs:
+        raise ValueError("need at least one probability")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probability out of [0,1]: {p}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rename the cum side's columns: both sides derive from `sketch`, and
+    # distinct names sidestep the ambiguous-self-join analyzer trap
+    cum = sketch.select(
+        *[F.col(k).alias(f"_c_{k}") for k in keys],
+        F.col("bucket").alias("_cbucket"),
+        F.sum("cnt").over(w).alias("_cum"),
+    )
+    n = sketch.groupBy(*keys).agg(F.sum("cnt").alias("_n"))
+    pr = n.select(
+        *keys,
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        "_n",
+    ).select(
+        *keys,
+        "p",
+        "_n",
+        F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n"))).alias("_r"),
+    )
+    cond = F.col("_cum") >= F.col("_r")
+    for kcol in keys:
+        cond = cond & (F.col(f"_c_{kcol}") == F.col(kcol))
+    hit = (
+        pr.join(cum, cond, "left")
+        .groupBy(*keys, "p", "_n")
+        .agg(F.min("_cbucket").alias("_i"))
+    )
+    est = F.round(
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("_i").cast("double"))
+        / F.lit(float(gamma) + 1.0),
+        6,
+    )
+    return hit.select(
+        *keys,
+        "p",
+        F.col("_n").cast("bigint").alias("n"),
+        est.alias("est"),
+    )

@@ -394,3 +394,72 @@ def test_hll_by_merge_equals_single_pass(spark):
 def test_hll_by_validation(spark):
     with pytest.raises(ValueError):
         hll_registers_by(_grouped(spark), [], "v")
+
+
+# --------------------------------------------------------------------------
+# Grouped DDSketch
+# --------------------------------------------------------------------------
+
+from mr_crawly_spark.operators.sketches import (  # noqa: E402
+    dd_quantiles_by,
+    dd_sketch_by,
+)
+
+
+def test_dd_by_relative_error_per_group(spark):
+    """Group a: 1..1000, group b: 5000..6000 — per-group medians must
+    each land within the alpha envelope of their own group's true
+    median, proving no cross-group bleed."""
+    df = (
+        spark.range(1, 1001)
+        .select(F.lit("a").alias("g"), F.col("id").cast("double").alias("x"))
+        .unionByName(
+            spark.range(5000, 6001).select(
+                F.lit("b").alias("g"), F.col("id").cast("double").alias("x")
+            )
+        )
+    )
+    rows = {
+        (r["g"], r["p"]): r["est"]
+        for r in dd_quantiles_by(
+            dd_sketch_by(df, ["g"], "x", 0.01), ["g"], [0.5, 0.99], 0.01
+        ).collect()
+    }
+    assert abs(rows[("a", 0.5)] - 500) <= 0.01 * 500 + 1
+    assert abs(rows[("b", 0.5)] - 5500) <= 0.01 * 5500 + 1
+    assert abs(rows[("a", 0.99)] - 990) <= 0.01 * 990 + 1
+
+
+def test_dd_by_merge_equals_single_pass(spark):
+    a = dd_sketch_by(
+        spark.range(1, 500).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("x")
+        ),
+        ["g"], "x", 0.05,
+    )
+    b = dd_sketch_by(
+        spark.range(400, 900).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("x")
+        ),
+        ["g"], "x", 0.05,
+    )
+    merged = (
+        a.unionByName(b).groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    one = dd_sketch_by(
+        spark.range(1, 500)
+        .union(spark.range(400, 900))
+        .select(F.lit("g").alias("g"), F.col("id").cast("double").alias("x")),
+        ["g"], "x", 0.05,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+
+def test_dd_by_validation(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, x double")
+    with pytest.raises(ValueError):
+        dd_sketch_by(df, [], "x", 0.01)
+    with pytest.raises(ValueError):
+        dd_quantiles_by(dd_sketch_by(df, ["g"], "x", 0.01), ["g"], [], 0.01)
