@@ -1383,12 +1383,16 @@ def q_text_norm(spark, sf_dir):
 def q_sim_join(spark, sf_dir):
     """Exact set-similarity join (operators/setjoin.py similarity_join —
     All-Pairs prefix filtering, Bayardo WWW'07 + PPJoin size filter):
-    every pair with token-Jaccard >= 0.8, COMPLETE and exact, over
-    documents + planted one-token-appended near-dup twins (every 10th
-    doc; J = n/(n+1) >= 0.8 keeps the check non-vacuous). The DuckDB
-    oracle is DELIBERATELY brute-force all-pairs — no prefix filter at
-    all — so a completeness bug (a candidate the prefix join misses)
-    cannot self-confirm."""
+    every pair with 3-gram-shingle Jaccard >= 0.8, COMPLETE and exact,
+    over documents + planted one-token-appended near-dup twins (every
+    10th doc; the twin adds exactly one new shingle, J = |D|/(|D|+1)
+    >= 0.8 keeps the check non-vacuous). Shingles, not unigrams: the
+    synthetic corpus has a 31-word vocabulary, so unigram prefixes all
+    carry corpus-scale df and the prefix join degenerates toward
+    all-pairs (111 s at sf0.1); 3-gram shingles restore the lemma's
+    selectivity. The DuckDB oracle is DELIBERATELY brute-force
+    all-pairs — no prefix filter at all — so a completeness bug (a
+    candidate the prefix join misses) cannot self-confirm."""
     from mr_crawly_spark.operators.setjoin import similarity_join
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1397,7 +1401,7 @@ def q_sim_join(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
-    return similarity_join(corpus, "doc_id", "text", threshold=0.8)
+    return similarity_join(corpus, "doc_id", "text", threshold=0.8, shingle=3)
 
 
 def q_kmv(spark, sf_dir):
@@ -3302,11 +3306,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id + 1000000 AS doc_id, text || ' plantedtoken'
               FROM documents WHERE doc_id % 10 = 0
             ),
+            w AS (SELECT doc_id, {toks} AS w FROM corpus),
             s AS (
               SELECT doc_id,
-                     list_filter(list_distinct({toks}),
+                     list_filter(list_distinct({shingle_list}),
                                  t -> length(t) > 0) AS tk
-              FROM corpus
+              FROM w
             ),
             a AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM s
                   WHERE len(tk) > 0)

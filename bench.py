@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "hll_by",
     "text_norm",
     "sim_join",
+    "dd_by",
 ]
 
 

@@ -33,15 +33,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sorted_token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, toks, size): distinct whitespace tokens per doc, sorted
-    rarest-first by (global frequency, token) — the canonical order the
-    prefix lemma needs. Empty docs drop out (no tokens, no pairs)."""
+def _sorted_token_arrays(
+    docs: DataFrame, id_col: str, text_col: str, shingle: int = 1
+) -> DataFrame:
+    """(id, toks, size): distinct whitespace tokens (or word ``shingle``-gram
+    shingles for shingle > 1) per doc, sorted rarest-first by (global
+    frequency, token) — the canonical order the prefix lemma needs. Empty
+    docs drop out (no tokens, no pairs)."""
+    from mr_crawly_spark.functions.text import shingles
+
+    raw = (
+        shingles(F.col(text_col), shingle)
+        if shingle > 1
+        else F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     tok = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("_tok"),
+        F.explode(F.array_distinct(raw)).alias("_tok"),
     ).filter(F.length("_tok") > 0)
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     return (
@@ -62,15 +70,26 @@ def similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    shingle: int = 1,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with token-set Jaccard >= threshold,
     with the exact score: (id_a, id_b, jaccard) — jaccard rounded to
     4 dp. COMPLETE by the prefix-filter lemma; exact by construction
-    (no hashing anywhere)."""
+    (no hashing anywhere).
+
+    ``shingle`` > 1 compares word n-gram shingle SETS instead of unigram
+    token sets. On a small-vocabulary corpus unigram prefix filtering is
+    degenerate — every prefix token has corpus-scale document frequency,
+    so the candidate equi-join approaches all-pairs (measured 111 s vs
+    2 s at sf0.1 on the 31-word synthetic vocab). Shingling restores the
+    selectivity the lemma's cost model assumes (vocab grows ~|V|^n), and
+    is the semantically right unit for text near-dup anyway."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingle < 1:
+        raise ValueError(f"shingle must be >= 1, got {shingle}")
     t = float(threshold)
-    base = _sorted_token_arrays(docs, id_col, text_col)
+    base = _sorted_token_arrays(docs, id_col, text_col, shingle)
     # prefix length |X| - ceil(t|X|) + 1; slice is 1-indexed
     plen = F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")).cast("int") + 1
     prefixes = base.select(

@@ -85,11 +85,48 @@ def test_similarity_join_larger_planted(spark):
     assert got == want
 
 
+def test_similarity_join_shingle_complete_and_exact(spark):
+    """shingle=3 compares distinct word-3-gram SETS — brute-force
+    reference recomputed on shingles (small-vocab corpora make unigram
+    prefixes degenerate; shingling is the production mode there)."""
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h x"),     # one appended word: J = 6/7
+        (2, "a b c d e f g h"),       # exact dup: J = 1.0
+        (3, "p q r s t u v w"),
+        (4, "x a b c d e f g h"),     # one prepended word: J = 6/7
+        (5, "a b"),                   # shorter than the shingle: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def grams(s, n=3):
+        w = s.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(
+        [(i, grams(t)) for i, t in rows], 2
+    ):
+        if not ta or not tb:
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= 0.8:
+            want[(min(ia, ib), max(ia, ib))] = round(j, 4)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in similarity_join(df, threshold=0.8, shingle=3).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (0, 4) in got  # genuine near-dups survive
+
+
 def test_similarity_join_validation(spark):
     with pytest.raises(ValueError):
         similarity_join(_corpus(spark), threshold=0.0)
     with pytest.raises(ValueError):
         similarity_join(_corpus(spark), threshold=1.2)
+    with pytest.raises(ValueError):
+        similarity_join(_corpus(spark), shingle=0)
 
 
 def test_similarity_join_plan_has_no_product(spark):
