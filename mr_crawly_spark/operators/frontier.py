@@ -390,17 +390,19 @@ def hits(
     ):
         """One HITS half-step: ``mass_col`` flows from each edge's
         ``key_in`` endpoint to its ``key_out`` endpoint; returns the
-        rounded max-normalized (url, out_col) frame."""
+        rounded max-normalized (url, out_col) frame.
+
+        Only RECEIVING nodes are carried through the loop: a node with
+        zero mass contributes nothing to the next half-step's sums and
+        can never be the (positive) max, so re-attaching the full node
+        set every half-step — 2·n_iterations joins of the whole graph's
+        node table — changes no score. Zeros are restored once, at the
+        final left join (measured 10.9 s → ~7 s at sf0.1, same output)."""
         raw = (
-            nodes.join(
-                e.join(mass, e[key_in] == mass.url)
-                .select(F.col(key_out).alias("_to"), F.col(mass_col).alias("_m"))
-                .groupBy("_to")
-                .agg(F.sum("_m").alias("_v")),
-                nodes.url == F.col("_to"),
-                "left",
-            )
-            .select("url", F.coalesce(F.col("_v"), F.lit(0.0)).alias("_v"))
+            e.join(mass, e[key_in] == mass.url)
+            .select(F.col(key_out).alias("url"), F.col(mass_col).alias("_m"))
+            .groupBy("url")
+            .agg(F.sum("_m").alias("_v"))
             .localCheckpoint()
         )
         mx = raw.agg(F.max("_v")).collect()[0][0]
@@ -413,9 +415,9 @@ def hits(
     for _ in range(n_iterations):
         auth = _half_step(hub, "hub", "auth", "src", "dst")
         hub = _half_step(auth, "auth", "hub", "dst", "src")
-    scores = nodes.join(hub, "url").join(auth, "url")
+    scores = nodes.join(hub, "url", "left").join(auth, "url", "left")
     return scores.select(
         "url",
-        F.round(F.col("hub"), 4).alias("hub"),
-        F.round(F.col("auth"), 4).alias("auth"),
+        F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 4).alias("hub"),
+        F.round(F.coalesce(F.col("auth"), F.lit(0.0)), 4).alias("auth"),
     )
