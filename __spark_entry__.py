@@ -1582,6 +1582,23 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (curation.pack_sequences, Brown et al.
+    2020 §2.1): concat documents end-to-end per md5 shard and slice the
+    stream into fixed 64-token training blocks — docs straddle block
+    boundaries, so every block but each shard's last is exactly full
+    (the zero-padding-waste complement of chunk_docs' per-doc windows).
+    Sequential recurrence parallelized per shard: the running offset is
+    one window per shard, straddlers explode per touched block, blocks
+    reassemble with one bounded groupBy — two shuffles at any size. The
+    DuckDB oracle replays shard/offset/slice and the per-block md5
+    bit-for-bit."""
+    from mr_crawly_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=64, n_shards=8)
+
+
 def q_sample_deterministic(spark, sf_dir):
     """RNG-free md5-threshold sampling: reproducible across engines, runs,
     and partitionings; monotone in fraction (1% ⊂ 10%)."""
@@ -1689,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_documents,
+        "pack_seqs": q_pack_sequences,
         "sample_det": q_sample_deterministic,
         "sample_strat": q_sample_stratified,
         "bm25": q_bm25,
@@ -2230,6 +2248,42 @@ def oracle_sql() -> dict[str, str]:
                    len(w[chunk_index * 32 + 1 : chunk_index * 32 + 40])::BIGINT
                        AS n_tokens
             FROM ch
+        """,
+        "pack_seqs": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS w,
+                     ('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 1000000 % 8 AS shard
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            pos AS (
+              SELECT shard, w, len(w)::BIGINT AS n,
+                     COALESCE(SUM(len(w)) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS strt
+              FROM t
+            ),
+            blocks AS (
+              SELECT shard, w, strt, strt + n AS fin,
+                     unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS seq_id
+              FROM pos
+            ),
+            pieces AS (
+              SELECT shard, seq_id,
+                     greatest(strt, seq_id * 64) AS off,
+                     w[(greatest(strt, seq_id * 64) - strt + 1)::INT :
+                       (least(fin, (seq_id + 1) * 64) - strt)::INT] AS piece
+              FROM blocks
+            ),
+            packed AS (
+              SELECT shard, seq_id, count(*)::BIGINT AS n_docs,
+                     flatten(list(piece ORDER BY off)) AS toks2
+              FROM pieces GROUP BY shard, seq_id
+            )
+            SELECT shard::INT AS shard, seq_id::BIGINT AS seq_id, n_docs,
+                   len(toks2)::BIGINT AS n_tokens,
+                   md5(array_to_string(toks2, ' ')) AS packed_fp
+            FROM packed
         """,
         "sample_det": """
             SELECT doc_id FROM documents

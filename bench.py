@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_norm",
     "sim_join",
     "dd_by",
+    # round 5g: LM sequence packing
+    "pack_seqs",
 ]
 
 

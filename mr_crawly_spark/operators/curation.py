@@ -58,6 +58,115 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 128,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing (Brown et al. 2020 §2.1): concatenate
+    documents end-to-end into a token stream and slice it into fixed
+    ``seq_len`` blocks — documents STRADDLE block boundaries, so every
+    training sequence except a shard's last is exactly full (zero padding
+    waste). The complement of :func:`chunk_documents`, which windows each
+    document independently and pads/short-fills the tail.
+
+    Packing is a sequential recurrence (each block's content depends on
+    every earlier document), so it runs PER SHARD: shard =
+    md5-hash(id) % n_shards — deterministic and engine-independent, unlike
+    a partition id. Practitioners pack per output shard/file for exactly
+    this reason; parallelism = n_shards regardless of corpus size, and the
+    per-shard running offset is ONE window over that shard only. A
+    document touching b blocks explodes into b rows (b <= n/seq_len + 1),
+    and blocks reassemble with ONE groupBy on (shard, seq_id) whose groups
+    are bounded at seq_len tokens — two shuffles total at any corpus size.
+
+    Output: (shard, seq_id, n_docs, n_tokens, packed_fp) — one row per
+    packed sequence; n_tokens == seq_len everywhere but each shard's final
+    block; packed_fp = md5 of the space-joined packed tokens (the full
+    sequence's identity without shipping seq_len-token strings around).
+
+    Determinism contract: stream order within a shard is ``id_col`` order,
+    so reruns, resumes, and repartitionings pack byte-identical sequences
+    (docs with only-whitespace text are dropped — they contribute no
+    tokens and would perturb n_docs).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = (
+        documents.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.pmod(sample_hash_col(F.col(id_col), "pack"), F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+            toks.alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks").cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = base.select(
+        "shard",
+        "_toks",
+        "_n",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("bigint").alias("_start"),
+    )
+    # blocks this doc touches: floor(start/L) .. floor((end-1)/L), integer
+    # div (never float — a double quotient could round across a boundary)
+    blocks = pos.select(
+        "shard",
+        "_toks",
+        "_start",
+        (F.col("_start") + F.col("_n")).alias("_end"),
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {seq_len}"),
+                F.expr(f"(_start + _n - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    off = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    pend = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len)
+    pieces = blocks.select(
+        "shard",
+        "seq_id",
+        off.alias("_off"),
+        F.slice(
+            "_toks", (off - F.col("_start") + 1).cast("int"), (pend - off).cast("int")
+        ).alias("_piece"),
+    )
+    packed = (
+        pieces.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_off", "_piece"))),
+                    lambda x: x["_piece"],
+                )
+            ).alias("_packed"),
+        )
+        .select(
+            "shard",
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "n_docs",
+            F.size("_packed").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "_packed")).alias("packed_fp"),
+        )
+    )
+    return packed
+
+
 SAMPLE_MOD = 1_000_000
 
 

@@ -634,3 +634,122 @@ def test_weighted_sample_partition_invariance(spark):
         map(tuple, weighted_sample(df.repartition(17), 20, "w").collect())
     )
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# pack_sequences — GPT-style concat-and-slice sequence packing
+# --------------------------------------------------------------------------
+
+
+def _pack_reference(rows, seq_len, n_shards):
+    """Plain-python replay of pack_sequences' contract: md5 shard, id-order
+    stream per shard, slice into seq_len blocks, md5 per packed block."""
+    import hashlib
+
+    def h60(salt, key):
+        return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+    shards: dict[int, list[tuple[int, list[str]]]] = {}
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        if not toks or not text.strip():
+            continue
+        shards.setdefault(h60("pack", doc_id) % 1_000_000 % n_shards, []).append(
+            (doc_id, toks)
+        )
+    out = {}
+    for shard, docs in shards.items():
+        stream, ndocs_at = [], []
+        for doc_id, toks in sorted(docs):
+            start = len(stream)
+            stream.extend(toks)
+            ndocs_at.append((start, len(stream)))
+        for seq_id in range((len(stream) + seq_len - 1) // seq_len):
+            lo, hi = seq_id * seq_len, min((seq_id + 1) * seq_len, len(stream))
+            block = stream[lo:hi]
+            n_docs = sum(1 for s, e in ndocs_at if s < hi and e > lo)
+            out[(shard, seq_id)] = (
+                n_docs,
+                len(block),
+                hashlib.md5(" ".join(block).encode()).hexdigest(),
+            )
+    return out
+
+
+def _pack_rows():
+    # short docs, an exactly-seq_len doc, a straddler 3x seq_len, empties
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)]
+    rows.append((100, " ".join(f"big{j}" for j in range(50))))  # straddles
+    rows.append((101, " ".join(f"x{j}" for j in range(16))))    # == seq_len
+    rows.append((102, "   "))                                   # whitespace-only
+    rows.append((103, ""))                                      # empty
+    return rows
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from mr_crawly_spark.operators.curation import pack_sequences
+
+    rows = _pack_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["n_tokens"], r["packed_fp"])
+        for r in pack_sequences(df, seq_len=16, n_shards=4).collect()
+    }
+    assert got == _pack_reference(rows, 16, 4)
+
+
+def test_pack_sequences_invariants(spark):
+    from mr_crawly_spark.functions.text import token_count
+    from mr_crawly_spark.operators.curation import pack_sequences
+
+    rows = _pack_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, seq_len=16, n_shards=4).collect()
+    # every block except each shard's last is exactly full
+    last = {}
+    for r in packed:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["seq_id"])
+    for r in packed:
+        if r["seq_id"] < last[r["shard"]]:
+            assert r["n_tokens"] == 16, (r["shard"], r["seq_id"])
+    # token conservation: packing loses nothing and pads nothing
+    total = (
+        df.filter(F.length(F.trim("text")) > 0)
+        .select(F.sum(token_count(F.col("text"))).alias("s"))
+        .first()["s"]
+    )
+    assert sum(r["n_tokens"] for r in packed) == total
+    # seq_ids are dense per shard from 0
+    by_shard: dict[int, set] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], set()).add(r["seq_id"])
+    for shard, ids in by_shard.items():
+        assert ids == set(range(len(ids))), shard
+
+
+def test_pack_sequences_partition_invariance(spark):
+    from mr_crawly_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(_pack_rows(), "doc_id long, text string")
+    a = sorted(
+        map(tuple, pack_sequences(df, seq_len=16, n_shards=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(df.repartition(13), seq_len=16, n_shards=4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_validation(spark):
+    import pytest as _pytest
+
+    from mr_crawly_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, n_shards=0)
