@@ -324,6 +324,33 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style rollup (task brief's continuous-aggregate shape):
+    ONE pass over events produces the (day, event_type) leaf aggregate,
+    the per-day subtotal, and the grand total via ROLLUP — Spark plans an
+    Expand (3 grouping sets) feeding a single map-side-combined agg, so
+    the time-hierarchy downsample costs one shuffle at any event volume
+    instead of three separate scans. grouping_id() disambiguates a NULL
+    key from a rolled-up level; value sums go through decimal(18,6) so
+    both engines add exactly (double summation is partition-order
+    dependent and would hash-mismatch)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("day", "event_type", "gid", "n", "sum_value")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """§2.9 stateful shape: 30-min-gap sessionization via lag + running sum."""
     events = load_table(spark, sf_dir, "events")
@@ -1701,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof": q_asof,
         "events_agg": q_events_agg,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -2202,6 +2230,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "events_rollup": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+                   GROUPING(date_trunc('day', ts), event_type)::BIGINT AS gid,
+                   count(*)::BIGINT AS n,
+                   SUM(value::DECIMAL(18,6))::DOUBLE AS sum_value
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), event_type)
         """,
         "sessionize": """
             WITH flagged AS (
