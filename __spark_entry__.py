@@ -1626,6 +1626,59 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=64, n_shards=8)
 
 
+def q_inv_index(spark, sf_dir):
+    """Blocked inverted-index build (operators/search.py): one row per
+    (term, md5-block-of-doc) with sorted postings — blocking caps a
+    stopword's postings at 1/n_doc_blocks of its docs per row (the
+    single-hot-key OOM at 10^10 pages); build is explode -> ONE
+    map-side-combined (term, doc) tf agg -> ONE bounded postings agg.
+    Output fingerprints each postings array (doc:tf pairs in doc order)
+    so the oracle hash-match covers every posting byte without shipping
+    arrays through the comparator."""
+    from mr_crawly_spark.operators.search import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, n_doc_blocks=8)
+    postings_fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(
+                    ":",
+                    p["doc_id"].cast("string"),
+                    p["tf"].cast("string"),
+                ),
+            ),
+        )
+    )
+    return idx.select(
+        "term", "block", "df_block", postings_fp.alias("postings_fp")
+    )
+
+
+def q_inv_search(spark, sf_dir):
+    """DAAT top-k retrieval over the postings index (search.search_topk):
+    the query filters the index to its literal terms FIRST (pushdown /
+    pruning — per-query cost tracks the matched postings, never the
+    corpus), idf folds into driver literals from a KB df agg, and each
+    tf*idf contribution is decimal(20,6)-quantized so the summed score is
+    partition-order invariant; top-k is (score desc, doc_id) via
+    TakeOrderedAndProject. The DuckDB oracle recomputes tf/df/idf/score
+    from the raw documents independently — a lost posting or a wrong
+    df cannot self-confirm."""
+    from mr_crawly_spark.operators.search import (
+        build_inverted_index,
+        search_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.filter(F.length(F.trim("text")) > 0).count()
+    idx = build_inverted_index(docs, n_doc_blocks=8)
+    hits = search_topk(idx, ["spark", "shuffle", "join"], n_docs=n, k=50)
+    return hits.withColumn("score", F.round("score", 4))
+
+
 def q_sample_deterministic(spark, sf_dir):
     """RNG-free md5-threshold sampling: reproducible across engines, runs,
     and partitionings; monotone in fraction (1% ⊂ 10%)."""
@@ -1739,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strat": q_sample_stratified,
         "bm25": q_bm25,
         "bm25_long": q_bm25_long,
+        "inv_index": q_inv_index,
+        "inv_search": q_inv_search,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
@@ -2392,6 +2447,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS bm25
             FROM d LEFT JOIN sc USING (doc_id)
+        """,
+        "inv_index": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf
+              FROM t GROUP BY term, doc_id
+            ),
+            b AS (
+              SELECT term, doc_id, tf,
+                     (('0x' || substr(md5('blk|' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 1000000 % 8)::INT AS block
+              FROM tf
+            )
+            SELECT term, block, count(*)::BIGINT AS df_block,
+                   md5(string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ','
+                       ORDER BY doc_id)) AS postings_fp
+            FROM b GROUP BY term, block
+        """,
+        "inv_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf
+              FROM t
+              WHERE term IN ('join', 'shuffle', 'spark')
+              GROUP BY term, doc_id
+            ),
+            dfreq AS (
+              SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+            ),
+            c AS (
+              SELECT count(*)::DOUBLE AS n FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            sc AS (
+              -- per-contribution DECIMAL(20,6) quantization = the Spark
+              -- side's order-invariant quantized sum (clf_quality class)
+              SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
+                     sum((tf.tf * (ln((c.n + 1.0) / (dfreq.df + 1.0)) + 1.0))
+                         ::DECIMAL(20,6))::DOUBLE AS score_x
+              FROM tf JOIN dfreq USING (term), c
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_terms, round(score_x, 4) AS score FROM sc
+            ORDER BY score_x DESC, doc_id LIMIT 50
         """,
         "repetition": f"""
             WITH base AS (

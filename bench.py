@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "dd_by",
     # round 5g: LM sequence packing
     "pack_seqs",
+    # round 5h: inverted-index build + DAAT retrieval
+    "inv_index",
+    "inv_search",
 ]
 
 
