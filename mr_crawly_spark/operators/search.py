@@ -29,14 +29,20 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
+import os
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_crawly_spark.operators.curation import sample_hash_col
+from mr_crawly_spark.operators.curation import SAMPLE_MOD, sample_hash_col
 
 BLOCK_SALT = "blk"
+TERM_BUCKET_SALT = "idxb"
+_GEOMETRY_FILE = "_index_geometry.json"
 
 
 def build_inverted_index(
@@ -83,6 +89,7 @@ def search_topk(
     n_docs: int,
     k: int = 10,
     require_all: bool = False,
+    n_term_buckets: int | None = None,
 ) -> DataFrame:
     """DAAT top-k over the postings index: filter the index to the literal
     query-term list (this is the pushdown/pruning step — nothing larger
@@ -110,6 +117,13 @@ def search_topk(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    if n_term_buckets and "term_bucket" in index.columns:
+        # persisted-index path: the bucket set is computable driver-side
+        # from the literal terms, so this filter is PARTITION PRUNING on
+        # the write_index layout — only the query terms' directories are
+        # even listed, let alone read (asserted by plan test).
+        buckets = sorted({term_bucket_of(t, n_term_buckets) for t in terms})
+        index = index.filter(F.col("term_bucket").isin(buckets))
     matched = index.filter(F.col("term").isin(terms))
     # per-term corpus df: blocks partition docs -> sum of df_block.
     # <= |terms| rows of driver metadata (the bm25_scores_exploded class).
@@ -145,3 +159,199 @@ def search_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col("doc_id")
     ).limit(k)
+
+
+def term_bucket_of(term: str, n_term_buckets: int) -> int:
+    """Driver-side twin of the term_bucket column expression (md5 of
+    'idxb|term', first 15 hex chars, % SAMPLE_MOD % n) — lets a query
+    compute its terms' buckets as literals, which parquet turns into
+    partition pruning over the write_index directory layout."""
+    h = int(
+        hashlib.md5(f"{TERM_BUCKET_SALT}|{term}".encode()).hexdigest()[:15],
+        16,
+    )
+    return h % SAMPLE_MOD % n_term_buckets
+
+
+def write_index(
+    index: DataFrame, path: str, n_term_buckets: int = 64
+) -> None:
+    """Persist the postings index partitioned by a stable term bucket so
+    future queries read ONLY their terms' directories (partition pruning;
+    at 10^10 pages the index itself is TB-scale, so a per-query full scan
+    would defeat the build-once point). One repartition by bucket before
+    the write keeps file count at ~n_term_buckets instead of
+    tasks x buckets small files. Geometry (n_term_buckets) is committed
+    LAST via tmp + os.replace (the seen.py sidecar convention): a crashed
+    write leaves no geometry file, so load_index refuses a partial index
+    instead of silently pruning to wrong buckets."""
+    if n_term_buckets < 1:
+        raise ValueError(
+            f"n_term_buckets must be >= 1, got {n_term_buckets}"
+        )
+    bucket = F.pmod(
+        sample_hash_col(F.col("term"), TERM_BUCKET_SALT),
+        F.lit(n_term_buckets),
+    ).cast("int")
+    (
+        index.withColumn("term_bucket", bucket)
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    geom = os.path.join(path, _GEOMETRY_FILE)
+    tmp = geom + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"n_term_buckets": n_term_buckets, "salt": TERM_BUCKET_SALT}, f
+        )
+    os.replace(tmp, geom)
+
+
+def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Load a write_index layout; returns (index, n_term_buckets) — pass
+    the geometry to search_topk/phrase_search so their bucket literals
+    match the directory layout. Raises on a missing/partial index (no
+    geometry file = the write never committed)."""
+    geom = os.path.join(path, _GEOMETRY_FILE)
+    if not os.path.exists(geom):
+        raise ValueError(
+            f"no committed index at {path} ({_GEOMETRY_FILE} missing — "
+            "write_index crashed mid-write or was never run)"
+        )
+    with open(geom) as f:
+        meta = json.load(f)
+    if meta.get("salt") != TERM_BUCKET_SALT:
+        raise ValueError(
+            f"index at {path} was written with salt {meta.get('salt')!r}; "
+            f"this build expects {TERM_BUCKET_SALT!r}"
+        )
+    return spark.read.parquet(path), int(meta["n_term_buckets"])
+
+
+def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a NEW batch of documents' index into an existing one without
+    re-scanning the corpus (index maintenance at 10^10 pages: each crawl
+    round indexes only its fetched slice, then merges). Same (term, block)
+    rows concat their postings and sum df_block — ONE shuffle on
+    (term, block), output bit-identical to rebuilding from the unioned
+    corpus (oracled). Contract: the two sides' doc_id sets are DISJOINT
+    (deltas are new documents); merging an overlapping rebuild would
+    double-count — delete/update flows re-index the affected block
+    instead (blocks bound that rewrite to 1/n_doc_blocks of a term's
+    postings)."""
+    u = base.select("term", "block", "df_block", "postings").unionByName(
+        delta.select("term", "block", "df_block", "postings")
+    )
+    return u.groupBy("term", "block").agg(
+        F.sum("df_block").cast("bigint").alias("df_block"),
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias(
+            "postings"
+        ),
+    )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_doc_blocks: int = 64,
+) -> DataFrame:
+    """Positional postings: one row per (term, block) with
+    ``postings = array<struct<doc_id, positions:array<int>>>`` (0-based
+    token offsets, sorted) — the structure phrase queries need. Same
+    blocked two-shuffle build as build_inverted_index; positions add
+    ~4 bytes/occurrence, the standard positional-index overhead."""
+    if n_doc_blocks < 1:
+        raise ValueError(f"n_doc_blocks must be >= 1, got {n_doc_blocks}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pos = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+            "positions"
+        ))
+    )
+    blocked = pos.withColumn(
+        "block",
+        F.pmod(
+            sample_hash_col(F.col("doc_id"), BLOCK_SALT), F.lit(n_doc_blocks)
+        ).cast("int"),
+    )
+    return blocked.groupBy("term", "block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_block"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias(
+            "postings"
+        ),
+    )
+
+
+def phrase_search(
+    index: DataFrame,
+    phrase: list[str],
+    n_term_buckets: int | None = None,
+) -> DataFrame:
+    """Exact phrase match over a positional index: a document matches at
+    position p iff phrase[i] occurs at p+i for every i. Counts OVERLAPPING
+    occurrences (\"a a\" in \"a a a\" = 2) — repeated phrase terms share one
+    postings row, so the position intersection stays exact.
+
+    Plan: filter the index to the phrase's DISTINCT terms (pruned to
+    their buckets when persisted), explode the matched postings, ONE
+    groupBy(doc_id) collecting a term->positions map, then a scan-only
+    array intersection — per-query cost tracks the phrase terms'
+    postings, never the corpus. Returns (doc_id, n_matches), matches
+    only."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    phrase = [t.lower() for t in phrase]
+    terms = sorted(set(phrase))
+    if n_term_buckets and "term_bucket" in index.columns:
+        buckets = sorted({term_bucket_of(t, n_term_buckets) for t in terms})
+        index = index.filter(F.col("term_bucket").isin(buckets))
+    hit = (
+        index.filter(F.col("term").isin(terms))
+        .select("term", F.explode("postings").alias("_p"))
+        .select(
+            "term",
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_p.positions").alias("positions"),
+        )
+    )
+    per_doc = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_nt"),
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("_pm"),
+    )
+    # docs missing any phrase term can't match (postings rows are
+    # (term, doc)-unique, so the row count IS the distinct-term count)
+    per_doc = per_doc.filter(F.col("_nt") == len(terms))
+    pm = F.col("_pm")
+    first = pm[F.lit(phrase[0])]
+    if len(phrase) == 1:
+        n_matches = F.size(first)
+    else:
+        n_matches = F.size(
+            F.filter(
+                first,
+                lambda p: reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.array_contains(pm[F.lit(t)], p + i)
+                        for i, t in enumerate(phrase[1:], start=1)
+                    ],
+                ),
+            )
+        )
+    return (
+        per_doc.select(
+            "doc_id", n_matches.cast("bigint").alias("n_matches")
+        )
+        .filter(F.col("n_matches") > 0)
+    )

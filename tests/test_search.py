@@ -165,3 +165,152 @@ def test_search_validation_and_misses(spark):
         search_topk(idx, ["spark"], n_docs=7, k=0)
     # unknown term: no postings -> no hits
     assert search_topk(idx, ["zzz-not-here"], n_docs=7, k=3).count() == 0
+
+
+def _ref_phrase(rows, phrase):
+    out = {}
+    phrase = [t.lower() for t in phrase]
+    for doc_id, text in rows:
+        w = text.strip().lower().split()
+        n = sum(
+            1
+            for i in range(len(w) - len(phrase) + 1)
+            if w[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_persisted_index_prunes_partitions(spark, tmp_path):
+    from mr_crawly_spark.operators.search import (
+        load_index,
+        term_bucket_of,
+        write_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_inverted_index(df, n_doc_blocks=4)
+    path = str(tmp_path / "idx")
+    write_index(idx, path, n_term_buckets=16)
+    loaded, n_buckets = load_index(spark, path)
+    assert n_buckets == 16
+    # pruned query == in-memory query
+    got = search_topk(
+        loaded, ["spark", "join"], n_docs=7, k=5, n_term_buckets=n_buckets
+    ).collect()
+    want = search_topk(idx, ["spark", "join"], n_docs=7, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the scan itself is partition-pruned: the bucket literals appear in
+    # PartitionFilters (pushed to the directory listing, not a post-scan
+    # Filter over all buckets)
+    buckets = {term_bucket_of(t, 16) for t in ("spark", "join")}
+    plan = (
+        loaded.filter(F.col("term_bucket").isin(sorted(buckets)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_load_index_refuses_partial_write(spark, tmp_path):
+    import os
+
+    from mr_crawly_spark.operators.search import load_index, write_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_inverted_index(df, n_doc_blocks=4)
+    path = str(tmp_path / "idx")
+    write_index(idx, path, n_term_buckets=8)
+    os.remove(os.path.join(path, "_index_geometry.json"))
+    with pytest.raises(ValueError, match="geometry"):
+        load_index(spark, path)
+    with pytest.raises(ValueError):
+        write_index(idx, path, n_term_buckets=0)
+
+
+def test_merge_index_equals_rebuild(spark):
+    from mr_crawly_spark.operators.search import merge_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    base = build_inverted_index(
+        df.filter(F.col("doc_id") % 2 == 0), n_doc_blocks=4
+    )
+    delta = build_inverted_index(
+        df.filter(F.col("doc_id") % 2 == 1), n_doc_blocks=4
+    )
+    merged = merge_index(base, delta)
+    full = build_inverted_index(df, n_doc_blocks=4)
+
+    def snap(d):
+        return sorted(
+            (
+                r["term"],
+                r["block"],
+                r["df_block"],
+                tuple((p["doc_id"], p["tf"]) for p in r["postings"]),
+            )
+            for r in d.collect()
+        )
+
+    assert snap(merged) == snap(full)
+
+
+def test_positional_index_and_phrase_search(spark):
+    from mr_crawly_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    rows = DOCS + [
+        (9, "join join join scan"),  # overlapping "join join" -> 2
+        (10, "scan filter scan filter scan"),  # "scan filter scan" -> 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pidx = build_positional_index(df, n_doc_blocks=4)
+    # positions are exact 0-based offsets
+    got_pos = {
+        (r["term"], p["doc_id"]): list(p["positions"])
+        for r in pidx.collect()
+        for p in r["postings"]
+    }
+    for doc_id, text in rows:
+        w = text.strip().lower().split() if text.strip() else []
+        for t in set(w):
+            assert got_pos[(t, doc_id)] == [
+                i for i, x in enumerate(w) if x == t
+            ]
+    for phrase in (
+        ["join", "join"],
+        ["scan", "filter", "scan"],
+        ["spark"],
+        ["SPARK", "Join"],  # case-folded
+        ["zzz", "spark"],  # absent term -> empty
+    ):
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(pidx, phrase).collect()
+        }
+        assert got == _ref_phrase(rows, phrase), phrase
+    with pytest.raises(ValueError):
+        phrase_search(pidx, [])
+
+
+def test_phrase_search_partition_invariance(spark):
+    from mr_crawly_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = phrase_search(
+        build_positional_index(df, n_doc_blocks=4), ["spark", "join"]
+    ).collect()
+    b = phrase_search(
+        build_positional_index(df.repartition(7), n_doc_blocks=4),
+        ["spark", "join"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
