@@ -1626,6 +1626,24 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=64, n_shards=8)
 
 
+def _postings_fp_col():
+    """md5 over 'doc_id:tf' pairs in doc order — covers every posting byte
+    without shipping arrays through the comparator."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(
+                    ":",
+                    p["doc_id"].cast("string"),
+                    p["tf"].cast("string"),
+                ),
+            ),
+        )
+    )
+
+
 def q_inv_index(spark, sf_dir):
     """Blocked inverted-index build (operators/search.py): one row per
     (term, md5-block-of-doc) with sorted postings — blocking caps a
@@ -1639,22 +1657,55 @@ def q_inv_index(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     idx = build_inverted_index(docs, n_doc_blocks=8)
-    postings_fp = F.md5(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("postings"),
-                lambda p: F.concat_ws(
-                    ":",
-                    p["doc_id"].cast("string"),
-                    p["tf"].cast("string"),
-                ),
-            ),
-        )
-    )
     return idx.select(
-        "term", "block", "df_block", postings_fp.alias("postings_fp")
+        "term", "block", "df_block", _postings_fp_col().alias("postings_fp")
     )
+
+
+def q_inv_merge(spark, sf_dir):
+    """Incremental index maintenance (search.merge_index): index two
+    DISJOINT corpus slices separately, merge — the result must be
+    bit-identical to rebuilding from the full corpus, so the oracle is
+    the SAME independent full-corpus SQL as inv_index (a double-counted
+    posting, lost block, or unsorted concat cannot self-confirm). At
+    10^10 pages each crawl round indexes only its fetched slice; this is
+    the ONE-shuffle fold that keeps the index current without rescans."""
+    from mr_crawly_spark.operators.search import (
+        build_inverted_index,
+        merge_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = build_inverted_index(
+        docs.filter(F.col("doc_id") % 5 != 0), n_doc_blocks=8
+    )
+    delta = build_inverted_index(
+        docs.filter(F.col("doc_id") % 5 == 0), n_doc_blocks=8
+    )
+    merged = merge_index(base, delta)
+    return merged.select(
+        "term", "block", "df_block", _postings_fp_col().alias("postings_fp")
+    )
+
+
+def q_inv_phrase(spark, sf_dir):
+    """Exact phrase search over the positional index
+    (search.build_positional_index + phrase_search): overlapping
+    occurrences counted, repeated-term phrases exact. The DuckDB oracle
+    recomputes matches from the RAW text by scanning token windows —
+    independent of the postings/positions machinery, so a lost position
+    or off-by-one offset cannot self-confirm. 'scan filter' occurs in
+    ~35 docs at both sf0.001 and sf0.01 (probed), keeping the check
+    non-vacuous."""
+    from mr_crawly_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pidx = build_positional_index(docs, n_doc_blocks=8)
+    hits = phrase_search(pidx, ["scan", "filter"])
+    return hits.orderBy(F.col("n_matches").desc(), "doc_id").limit(100)
 
 
 def q_inv_search(spark, sf_dir):
@@ -1677,6 +1728,37 @@ def q_inv_search(spark, sf_dir):
     idx = build_inverted_index(docs, n_doc_blocks=8)
     hits = search_topk(idx, ["spark", "shuffle", "join"], n_docs=n, k=50)
     return hits.withColumn("score", F.round("score", 4))
+
+
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient
+    (operators/graph.py triangle_stats — link-farm/spam signal): exact
+    counts via (degree, id) edge orientation, so hub fan-out is O(sqrt(E))
+    and each triangle is generated once. Edge table is md5-derived from
+    documents (~300 nodes) + a planted 5-clique on ids 1000-1004 whose
+    corners must come back with n_tri >= 6 and clustering computable —
+    the planted positive keeps the check non-vacuous. The DuckDB oracle
+    uses the OTHER canonical formulation (id-ordered 3-way self-join,
+    no degree ordering) — a double-counted or dropped triangle cannot
+    self-confirm."""
+    from mr_crawly_spark.operators.graph import triangle_stats
+    from mr_crawly_spark.operators.curation import sample_hash_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    rand = docs.select(
+        F.pmod(sample_hash_col(F.col("doc_id"), "gsrc"), F.lit(300))
+        .cast("bigint")
+        .alias("src"),
+        F.pmod(sample_hash_col(F.col("doc_id"), "gdst"), F.lit(300))
+        .cast("bigint")
+        .alias("dst"),
+    )
+    clique_nodes = [1000, 1001, 1002, 1003, 1004]
+    clique = spark.createDataFrame(
+        [(a, b) for a in clique_nodes for b in clique_nodes if a < b],
+        "src bigint, dst bigint",
+    )
+    return triangle_stats(rand.unionByName(clique))
 
 
 def q_sample_deterministic(spark, sf_dir):
@@ -1794,6 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_long": q_bm25_long,
         "inv_index": q_inv_index,
         "inv_search": q_inv_search,
+        "inv_merge": q_inv_merge,
+        "inv_phrase": q_inv_phrase,
+        "triangles": q_triangles,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
@@ -1865,6 +1950,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 TOKENS_SQL = "string_split_regex(trim({col}), '\\s+')"
+
+# full-corpus inverted-index fingerprints: the oracle for BOTH inv_index
+# (direct build) and inv_merge (disjoint-slice build + merge_index fold —
+# merge must be bit-identical to rebuild)
+INV_INDEX_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM t GROUP BY term, doc_id
+    ),
+    b AS (
+      SELECT term, doc_id, tf,
+             (('0x' || substr(md5('blk|' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 1000000 % 8)::INT AS block
+      FROM tf
+    )
+    SELECT term, block, count(*)::BIGINT AS df_block,
+           md5(string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ','
+               ORDER BY doc_id)) AS postings_fp
+    FROM b GROUP BY term, block
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2448,27 +2558,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS bm25
             FROM d LEFT JOIN sc USING (doc_id)
         """,
-        "inv_index": """
+        "inv_index": INV_INDEX_SQL,
+        # merge(base, delta) must equal a full rebuild: same oracle. The
+        # Spark side builds from two disjoint slices and folds; only a
+        # correct merge reproduces the full-corpus fingerprints.
+        "inv_merge": INV_INDEX_SQL,
+        "triangles": """
+            WITH raw AS (
+              SELECT ('0x' || substr(md5('gsrc|' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 1000000 % 300 AS src,
+                     ('0x' || substr(md5('gdst|' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 1000000 % 300 AS dst
+              FROM documents
+              UNION ALL
+              SELECT a.a::BIGINT, b.b::BIGINT
+              FROM (VALUES (1000),(1001),(1002),(1003),(1004)) a(a),
+                   (VALUES (1000),(1001),(1002),(1003),(1004)) b(b)
+              WHERE a.a < b.b
+            ),
+            e0 AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS degree
+              FROM (SELECT u AS node FROM e0
+                    UNION ALL SELECT v FROM e0)
+              GROUP BY node
+            ),
+            -- id-canonical x<y<z 3-way join: the INDEPENDENT formulation
+            -- (the Spark side orients by (degree, id) instead)
+            tri AS (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM e0 a
+              JOIN e0 b ON a.u = b.u AND a.v < b.v
+              JOIN e0 c ON c.u = a.v AND c.v = b.v
+            ),
+            per AS (
+              SELECT node, count(*)::BIGINT AS n_tri
+              FROM (SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+              GROUP BY node
+            )
+            SELECT deg.node, deg.degree,
+                   coalesce(per.n_tri, 0)::BIGINT AS n_tri,
+                   CASE WHEN deg.degree < 2 THEN 0.0
+                        ELSE round(2.0 * coalesce(per.n_tri, 0)
+                                   / (deg.degree * (deg.degree - 1)), 4)
+                   END AS clustering
+            FROM deg LEFT JOIN per USING (node)
+        """,
+        "inv_phrase": """
             WITH t AS (
               SELECT doc_id,
-                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
-                       AS term
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
               FROM documents WHERE length(trim(text)) > 0
             ),
-            tf AS (
-              SELECT term, doc_id, count(*)::BIGINT AS tf
-              FROM t GROUP BY term, doc_id
-            ),
-            b AS (
-              SELECT term, doc_id, tf,
-                     (('0x' || substr(md5('blk|' || doc_id::VARCHAR), 1, 15))
-                       ::BIGINT % 1000000 % 8)::INT AS block
-              FROM tf
+            m AS (
+              SELECT doc_id,
+                     len(list_filter(range(1, len(w)),
+                         i -> w[i] = 'scan' AND w[i+1] = 'filter'))::BIGINT
+                       AS n_matches
+              FROM t
             )
-            SELECT term, block, count(*)::BIGINT AS df_block,
-                   md5(string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ','
-                       ORDER BY doc_id)) AS postings_fp
-            FROM b GROUP BY term, block
+            SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+            ORDER BY n_matches DESC, doc_id LIMIT 100
         """,
         "inv_search": """
             WITH t AS (

@@ -66,9 +66,14 @@ BENCH_QUERIES = [
     "dd_by",
     # round 5g: LM sequence packing
     "pack_seqs",
-    # round 5h: inverted-index build + DAAT retrieval
+    # round 5h: inverted-index build + DAAT retrieval, incremental merge,
+    # positional phrase search
     "inv_index",
     "inv_search",
+    "inv_merge",
+    "inv_phrase",
+    # round 5h: degree-ordered triangle counting
+    "triangles",
 ]
 
 
