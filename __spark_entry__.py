@@ -1730,6 +1730,19 @@ def q_inv_search(spark, sf_dir):
     return hits.withColumn("score", F.round("score", 4))
 
 
+def q_pmi(spark, sf_dir):
+    """Top-50 PMI collocations (curation.pmi_collocations, Church & Hanks
+    1990 estimator with a min_count=3 rare-pair floor): two map-side
+    aggs + two word-keyed joins; totals fold to literals. Ordering is on
+    the ROUNDED pmi with a bigram tiebreak, so the top-k cut is total and
+    engine-independent. Oracle recomputes unigram/bigram counts and the
+    PMI formula from raw text in DuckDB."""
+    from mr_crawly_spark.operators.curation import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=50, min_count=3)
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + clustering coefficient
     (operators/graph.py triangle_stats — link-farm/spam signal): exact
@@ -1879,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inv_merge": q_inv_merge,
         "inv_phrase": q_inv_phrase,
         "triangles": q_triangles,
+        "pmi": q_pmi,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
@@ -2563,6 +2577,32 @@ def oracle_sql() -> dict[str, str]:
         # Spark side builds from two disjoint slices and folds; only a
         # correct merge reproduces the full-corpus fingerprints.
         "inv_merge": INV_INDEX_SQL,
+        "pmi": f"""
+            WITH d AS (
+              SELECT {toks} AS w FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            uni AS (
+              SELECT t AS w, count(*)::BIGINT AS c
+              FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1
+            ),
+            tot AS (SELECT sum(c)::DOUBLE AS nt FROM uni),
+            bg AS (
+              SELECT b AS bigram, count(*)::BIGINT AS freq
+              FROM (SELECT unnest({shingle2_list}) AS b FROM d)
+              GROUP BY 1 HAVING count(*) >= 3
+            ),
+            nbt AS (
+              SELECT sum(greatest(len(w) - 1, 0))::DOUBLE AS nb FROM d
+            )
+            SELECT bigram, freq,
+                   round(ln((freq / nbt.nb)
+                         / ((ua.c / tot.nt) * (ub.c / tot.nt))), 4) AS pmi
+            FROM bg, tot, nbt
+            JOIN uni ua ON ua.w = split_part(bg.bigram, ' ', 1)
+            JOIN uni ub ON ub.w = split_part(bg.bigram, ' ', 2)
+            ORDER BY pmi DESC, bigram LIMIT 50
+        """,
         "triangles": """
             WITH raw AS (
               SELECT ('0x' || substr(md5('gsrc|' || doc_id::VARCHAR), 1, 15))

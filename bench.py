@@ -72,8 +72,9 @@ BENCH_QUERIES = [
     "inv_search",
     "inv_merge",
     "inv_phrase",
-    # round 5h: degree-ordered triangle counting
+    # round 5h: degree-ordered triangle counting, PMI collocations
     "triangles",
+    "pmi",
 ]
 
 

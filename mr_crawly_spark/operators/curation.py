@@ -763,6 +763,101 @@ def top_ngrams(
     ).limit(k)
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information — the
+    phrase-mining pass behind tokenizer-vocab curation and multi-word
+    entity discovery (PMI finds 'new york', raw frequency finds 'of the').
+
+    pmi(a,b) = ln( P(ab) / (P(a) P(b)) ) with P(ab) = c_ab / N_bigrams and
+    P(w) = c_w / N_tokens (textbook estimator, Church & Hanks 1990); the
+    ``min_count`` floor drops the classic PMI pathology of rare pairs
+    scoring highest (two hapaxes that co-occur once have maximal PMI).
+
+    Output: (bigram, freq, pmi) — pmi 4dp-rounded, ordered (pmi desc,
+    bigram) via TakeOrderedAndProject.
+
+    Plan shape at 100 TB: two map-side-combined aggs (unigrams, bigrams —
+    the bigram table is pre-shrunk by min_count BEFORE any join), then two
+    equi-joins keyed on a word each. Hot words (stopwords) fan out on the
+    join side, but the left side is the already-thresholded bigram table
+    (<< corpus), and AQE's skew-join split handles the residue; the two
+    corpus totals fold to driver literals from KB-sized aggs."""
+    from mr_crawly_spark.functions.text import shingles_of_tokens, tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = base.select(tokens(F.col(text_col)).alias("_w"))
+    uni = (
+        toks.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    big = (
+        toks.select(
+            F.explode(shingles_of_tokens(F.col("_w"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c_w").alias("_nt"), F.count(F.lit(1)).alias("_nv")
+    ).first()
+    n_tokens = int(totals["_nt"] or 0)
+    if n_tokens == 0:
+        return big.select(
+            "bigram", "freq", F.lit(0.0).alias("pmi")
+        ).limit(0)
+    n_bigrams_row = (
+        toks.select(
+            F.size(shingles_of_tokens(F.col("_w"), 2)).alias("_nb")
+        )
+        .agg(F.sum("_nb").alias("_n"))
+        .first()
+    )
+    n_bigrams = int(n_bigrams_row["_n"] or 0)
+    if n_bigrams == 0:
+        return big.select(
+            "bigram", "freq", F.lit(0.0).alias("pmi")
+        ).limit(0)
+    w1 = F.split(F.col("bigram"), " ", 2)[0]
+    w2 = F.split(F.col("bigram"), " ", 2)[1]
+    ua = uni.select(F.col("w").alias("_w1"), F.col("c_w").alias("_ca"))
+    ub = uni.select(F.col("w").alias("_w2"), F.col("c_w").alias("_cb"))
+    joined = (
+        big.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(ua, "_w1")
+        .join(ub, "_w2")
+    )
+    # ln( (c_ab/N_big) / ((c_a/N_tok)(c_b/N_tok)) ): the totals are
+    # literals, so this is scan-only after the joins
+    pmi = F.round(
+        F.log(
+            (F.col("freq") / F.lit(float(n_bigrams)))
+            / (
+                (F.col("_ca") / F.lit(float(n_tokens)))
+                * (F.col("_cb") / F.lit(float(n_tokens)))
+            )
+        ),
+        4,
+    )
+    return (
+        joined.select("bigram", "freq", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     top_j: int = 3,

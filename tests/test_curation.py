@@ -753,3 +753,84 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, seq_len=0)
     with _pytest.raises(ValueError):
         pack_sequences(df, n_shards=0)
+
+
+def _ref_pmi(rows, k, min_count):
+    import math
+    from collections import Counter
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, text in rows:
+        w = text.strip().split()
+        if not text.strip():
+            continue
+        uni.update(w)
+        big.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    nt = sum(uni.values())
+    nb = sum(big.values())
+    out = []
+    for bg, c in big.items():
+        if c < min_count:
+            continue
+        a, b = bg.split(" ")
+        pmi = math.log((c / nb) / ((uni[a] / nt) * (uni[b] / nt)))
+        out.append((bg, c, round(pmi, 4)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    from mr_crawly_spark.operators.curation import pmi_collocations
+
+    rows = [
+        # "new york" always together (high PMI); "of the" frequent but
+        # independent (low PMI)
+        (1, "new york is big and the rest of the city sleeps"),
+        (2, "i love new york and the sound of the streets"),
+        (3, "new york new york the city of the world"),
+        (4, "the cat sat of the mat the dog sat of the rug"),
+        (5, "   "),
+        (6, "the of the of the of"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["bigram"], r["freq"], r["pmi"])
+        for r in pmi_collocations(df, k=10, min_count=2).collect()
+    ]
+    want = _ref_pmi(rows, 10, 2)
+    assert got == want
+    pmis = dict((b, p) for b, _, p in got)
+    assert pmis["new york"] > pmis["of the"]  # PMI ranks the collocation
+
+
+def test_pmi_collocations_edges(spark):
+    import pytest as _pytest
+
+    from mr_crawly_spark.operators.curation import pmi_collocations
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pmi_collocations(empty).count() == 0
+    singles = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    assert pmi_collocations(singles, min_count=1).count() == 0
+    with _pytest.raises(ValueError):
+        pmi_collocations(singles, k=0)
+    with _pytest.raises(ValueError):
+        pmi_collocations(singles, min_count=0)
+
+
+def test_pmi_collocations_partition_invariance(spark):
+    from mr_crawly_spark.operators.curation import pmi_collocations
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in pmi_collocations(df, k=20, min_count=2).collect()]
+    b = [
+        tuple(r)
+        for r in pmi_collocations(
+            df.repartition(11), k=20, min_count=2
+        ).collect()
+    ]
+    assert a == b
