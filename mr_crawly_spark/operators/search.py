@@ -355,3 +355,122 @@ def phrase_search(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def append_index_delta(
+    delta_index: DataFrame, path: str, batch_id: int
+) -> None:
+    """Merge-on-read index maintenance (the engine's frontier-delta
+    pattern, engine.py compact_every): append a NEW doc batch's index as
+    its own parquet directory instead of rewriting the base — O(batch)
+    per commit, never O(corpus). Query-side no merge is needed at all:
+    search_topk explodes postings and re-aggregates per doc, and df is
+    already a SUM over rows, so unioned delta rows are exactly as correct
+    as physically-merged ones (doc sets across deltas are disjoint by the
+    merge_index contract). compact_index bounds the delta count on
+    cadence.
+
+    Layout: ``{path}/base`` (write_index-partitioned, geometry-committed)
+    + ``{path}/deltas/delta-*`` — the base must NOT sit at the layout
+    root because parquet overwrite truncates its whole target dir."""
+    delta_index.select("term", "block", "df_block", "postings").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "deltas", f"delta-{batch_id:010d}"))
+
+
+def load_index_view(spark: SparkSession, path: str) -> DataFrame:
+    """The merge-on-read view: base index (if compacted/committed)
+    unioned with every delta directory. Rows are (term, block, df_block,
+    postings); the same (term, block) may appear once per delta — valid
+    as-is for search_topk/phrase_search, physically folded by
+    compact_index."""
+    import glob as _glob
+
+    parts = []
+    base_dir = os.path.join(path, "base")
+    if os.path.exists(os.path.join(base_dir, _GEOMETRY_FILE)):
+        base, _ = load_index(spark, base_dir)
+        parts.append(
+            base.select("term", "block", "df_block", "postings")
+        )
+    for d in sorted(_glob.glob(os.path.join(path, "deltas", "delta-*"))):
+        parts.append(spark.read.parquet(d))
+    if not parts:
+        raise ValueError(f"no index base or deltas at {path}")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def compact_index(
+    spark: SparkSession, path: str, n_term_buckets: int = 64
+) -> int:
+    """Fold every delta into the partitioned base (ONE (term, block)
+    shuffle over base+deltas) and remove the consumed delta dirs; returns
+    the number of deltas folded. The merged frame is materialized
+    (localCheckpoint) BEFORE write_index overwrites the files it was read
+    from; the geometry commit stays last, so a crash mid-compaction is
+    caught by load_index. Deltas are removed only after the base commit —
+    a crash between the two leaves duplicate postings visible, so the
+    stream owner should re-run compact_index (idempotent for search
+    correctness only after the rerun completes; fingerprint-level
+    exactness is restored by the rerun's rewrite)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    deltas = sorted(_glob.glob(os.path.join(path, "deltas", "delta-*")))
+    view = load_index_view(spark, path)
+    merged = view.groupBy("term", "block").agg(
+        F.sum("df_block").cast("bigint").alias("df_block"),
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias(
+            "postings"
+        ),
+    )
+    merged = merged.localCheckpoint()
+    merged.count()
+    # the base lives in its own subdir: parquet overwrite TRUNCATES the
+    # whole target dir, so writing at the layout root would destroy the
+    # very deltas being folded (and any appended concurrently)
+    write_index(
+        merged, os.path.join(path, "base"), n_term_buckets=n_term_buckets
+    )
+    for d in deltas:
+        _shutil.rmtree(d, ignore_errors=True)
+    return len(deltas)
+
+
+def stream_index_updates(
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_doc_blocks: int = 64,
+    compact_every: int = 8,
+):
+    """Keep the inverted index current off a document STREAM: each
+    micro-batch indexes only its own docs (two bounded shuffles) and
+    appends a merge-on-read delta; every ``compact_every`` batches the
+    deltas fold into the partitioned base. Searches against
+    load_index_view see every committed batch. Returns the
+    StreamingQuery (caller awaits/stops)."""
+
+    state = {"since_compact": 0}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = build_inverted_index(
+            batch_df, id_col=id_col, text_col=text_col,
+            n_doc_blocks=n_doc_blocks,
+        )
+        append_index_delta(delta, path, batch_id)
+        state["since_compact"] += 1
+        if state["since_compact"] >= compact_every:
+            compact_index(batch_df.sparkSession, path)
+            state["since_compact"] = 0
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -314,3 +314,101 @@ def test_phrase_search_partition_invariance(spark):
         ["spark", "join"],
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_index_mor_view_and_compaction(spark, tmp_path):
+    from mr_crawly_spark.operators.search import (
+        append_index_delta,
+        compact_index,
+        load_index_view,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "mor")
+    # three disjoint batches appended as deltas, no base yet
+    for i, m in enumerate((0, 1, 2)):
+        batch = df.filter(F.col("doc_id") % 3 == m)
+        append_index_delta(
+            build_inverted_index(batch, n_doc_blocks=4), path, batch_id=i
+        )
+    full = build_inverted_index(df, n_doc_blocks=4)
+    # the UNMERGED view answers searches identically to the full rebuild
+    view = load_index_view(spark, path)
+    got = search_topk(view, ["spark", "join"], n_docs=7, k=5).collect()
+    want = search_topk(full, ["spark", "join"], n_docs=7, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # compaction folds deltas into the base, postings bit-identical
+    n = compact_index(spark, path, n_term_buckets=8)
+    assert n == 3
+    import os
+
+    assert not os.path.exists(os.path.join(path, "deltas", "delta-0000000000"))
+
+    def snap(d):
+        return sorted(
+            (
+                r["term"],
+                r["block"],
+                r["df_block"],
+                tuple((p["doc_id"], p["tf"]) for p in r["postings"]),
+            )
+            for r in d.select(
+                "term", "block", "df_block", "postings"
+            ).collect()
+        )
+
+    assert snap(load_index_view(spark, path)) == snap(full)
+    # appending another delta after compaction still composes
+    extra = spark.createDataFrame(
+        [(100, "spark spark spark")], "doc_id long, text string"
+    )
+    append_index_delta(
+        build_inverted_index(extra, n_doc_blocks=4), path, batch_id=99
+    )
+    full2 = build_inverted_index(
+        df.unionByName(extra), n_doc_blocks=4
+    )
+    got2 = search_topk(
+        load_index_view(spark, path), ["spark"], n_docs=8, k=3
+    ).collect()
+    want2 = search_topk(full2, ["spark"], n_docs=8, k=3).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+
+def test_stream_index_updates_equals_batch(spark, tmp_path):
+    """The streaming fold (per-batch delta + cadence compaction) ends at
+    the same searchable state as one batch rebuild."""
+    import os
+
+    from mr_crawly_spark.operators.search import (
+        load_index_view,
+        stream_index_updates,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    # one parquet file per micro-batch (maxFilesPerTrigger=1)
+    for i, m in enumerate((0, 1, 2)):
+        df.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    path = str(tmp_path / "sidx")
+    q = stream_index_updates(
+        stream,
+        path,
+        checkpoint=str(tmp_path / "ckpt"),
+        n_doc_blocks=4,
+        compact_every=2,  # forces a mid-stream compaction
+    )
+    q.awaitTermination(120)
+    full = build_inverted_index(df, n_doc_blocks=4)
+    got = search_topk(
+        load_index_view(spark, path), ["spark", "join"], n_docs=7, k=5
+    ).collect()
+    want = search_topk(full, ["spark", "join"], n_docs=7, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
