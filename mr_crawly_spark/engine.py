@@ -1232,6 +1232,119 @@ class CrawlEngine:
         log.info("schedule_recrawl: %d rows pending", n)
         return n
 
+    def _search_index_path(self) -> str:
+        import os
+
+        return os.path.join(self.cfg.warehouse, "search_index")
+
+    def update_search_index(self, n_doc_blocks: int = 16) -> int:
+        """Make the crawl output SEARCHABLE, incrementally: index the text
+        spans of pages fetched since the last call and append them as ONE
+        merge-on-read delta (operators/search.py append_index_delta) —
+        O(new pages) per call, never O(corpus). Call after run()/flush()
+        (or on any cadence); engine.search() then answers tf-idf top-k
+        over everything indexed so far. Returns the number of newly
+        indexed pages.
+
+        The high-water mark is the committed round (``_indexed.json``,
+        tmp+os.replace like every sidecar marker): within a run the seen
+        set guarantees each URL is fetched at most once, so round-sliced
+        deltas stay doc-disjoint (the merge_index contract). A
+        schedule_recrawl cycle re-fetches URLs — call
+        rebuild_search_index() after recrawls instead (documented there).
+        """
+        import json
+        import os
+
+        from mr_crawly_spark.operators.search import (
+            append_index_delta,
+            build_inverted_index,
+            compact_index,
+        )
+
+        path = self._search_index_path()
+        marker = os.path.join(path, "_indexed.json")
+        state = {"through_round": -1, "n_docs": 0, "deltas": 0}
+        if os.path.exists(marker):
+            with open(marker) as f:
+                state = json.load(f)
+        pages = self.catalog.load("pages", max_round=self.round)
+        if pages is None:
+            return 0
+        new = pages.filter(
+            (F.col("fetch_status") == 200)
+            & (F.col("round") > state["through_round"])
+            & (F.col("round") <= self.round)
+        )
+        docs = new.select(
+            F.col("url").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.col("spans"), lambda s: s["kind"] == F.lit("text")
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text"),
+        )
+        n_new = docs.count()
+        if n_new == 0:
+            return 0
+        delta = build_inverted_index(docs, n_doc_blocks=n_doc_blocks)
+        append_index_delta(delta, path, batch_id=self.round)
+        state = {
+            "through_round": self.round,
+            "n_docs": state["n_docs"] + n_new,
+            "deltas": state["deltas"] + 1,
+        }
+        if state["deltas"] >= self.cfg.compact_every:
+            compact_index(self.spark, path, n_term_buckets=16)
+            state["deltas"] = 0
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, marker)
+        log.info("update_search_index: +%d pages (round %d)", n_new, self.round)
+        return n_new
+
+    def rebuild_search_index(self, n_doc_blocks: int = 16) -> int:
+        """Full re-index of every fetched page — the recrawl-safe path
+        (re-fetched URLs would double-count through the incremental
+        deltas; a rebuild replaces the whole layout). O(corpus), so run it
+        on the recrawl cadence, not per round."""
+        import shutil as _shutil
+
+        path = self._search_index_path()
+        _shutil.rmtree(path, ignore_errors=True)
+        return self.update_search_index(n_doc_blocks=n_doc_blocks)
+
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        """tf-idf top-k (url, n_terms, score) over the indexed crawl
+        (operators/search.py search_topk on the merge-on-read view).
+        update_search_index() must have run at least once."""
+        import json
+        import os
+
+        from mr_crawly_spark.operators.search import (
+            load_index_view,
+            search_topk,
+        )
+
+        path = self._search_index_path()
+        marker = os.path.join(path, "_indexed.json")
+        if not os.path.exists(marker):
+            raise ValueError(
+                "no search index in this warehouse — run "
+                "update_search_index() after a crawl first"
+            )
+        with open(marker) as f:
+            n_docs = json.load(f)["n_docs"]
+        view = load_index_view(self.spark, path)
+        return search_topk(view, terms, n_docs=n_docs, k=k).withColumnRenamed(
+            "doc_id", "url"
+        )
+
     def has_pending(self) -> bool:
         if self.pending_count is not None:
             return self.pending_count > 0

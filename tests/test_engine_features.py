@@ -554,3 +554,91 @@ def test_hits_empty_graph_returns_empty(spark):
     out = hits(edges, n_iterations=3)
     assert out.count() == 0
     assert out.columns == ["url", "hub", "auth"]
+
+
+# --------------------------------------------------------------------- #
+# searchable crawl output: incremental page indexing (operators/search.py
+# wired into the engine) — crawl, index, search; resume, index AGAIN
+# (delta only), search reflects both; rebuild matches incremental
+def test_engine_search_index_incremental(spark, tiny_corpus):
+    import math
+
+    eng = _engine(spark, tiny_corpus, max_pages=8)
+    eng.run()
+    n1 = eng.update_search_index()
+    assert n1 == eng.table("pages").filter(
+        F.col("fetch_status") == 200
+    ).count() > 0
+
+    def ref_topk(terms, k):
+        rows = eng.table("pages").filter(F.col("fetch_status") == 200).collect()
+        docs = {}
+        for r in rows:
+            toks = " ".join(
+                s["text"]
+                for s in sorted(r["spans"], key=lambda s: s["offset"])
+                if s["kind"] == "text" and s["text"]
+            )
+            docs[r["url"]] = toks.strip().lower().split()
+        n = len(docs)
+        dfreq = {
+            t: sum(1 for w in docs.values() if t in w) for t in set(terms)
+        }
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out = []
+        for u, w in docs.items():
+            s = Decimal(0)
+            nt = 0
+            for t in sorted(set(terms)):
+                tf = w.count(t)
+                if tf:
+                    idf = math.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0
+                    s += Decimal(tf * idf).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                    nt += 1
+            if nt:
+                out.append((u, nt, float(s)))
+        out.sort(key=lambda r: (-r[2], r[0]))
+        return out[:k]
+
+    # pick terms that exist in the synthetic page text
+    sample = eng.table("pages").filter(F.col("fetch_status") == 200).first()
+    words = [
+        s["text"].split()[0]
+        for s in sample["spans"]
+        if s["kind"] == "text" and s["text"]
+    ][:2]
+    assert words
+    got = [tuple(r) for r in eng.search(words, k=5).collect()]
+    assert got == ref_topk(words, 5)
+
+    # resume the crawl further, index incrementally — only new pages
+    eng2 = _engine(
+        spark, tiny_corpus, wh=eng.cfg.warehouse, force_reset=False
+    )
+    eng2.resume()
+    eng2.cfg.max_pages = 20
+    eng2.run(fresh=False)
+    n2 = eng2.update_search_index()
+    total_ok = eng2.table("pages").filter(
+        F.col("fetch_status") == 200
+    ).count()
+    assert n1 + n2 == total_ok
+    assert n2 > 0
+
+    got2 = [tuple(r) for r in eng2.search(words, k=5).collect()]
+
+    # a rebuild from scratch gives the same answer
+    assert eng2.rebuild_search_index() == total_ok
+    got3 = [tuple(r) for r in eng2.search(words, k=5).collect()]
+    assert got2 == got3
+
+    # no new pages -> no-op delta
+    assert eng2.update_search_index() == 0
+
+    # unindexed warehouse raises
+    eng3 = _engine(spark, tiny_corpus)
+    with pytest.raises(ValueError, match="search index"):
+        eng3.search(["x"])
