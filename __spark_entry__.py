@@ -1730,6 +1730,21 @@ def q_inv_search(spark, sf_dir):
     return hits.withColumn("score", F.round("score", 4))
 
 
+def q_pct_ranks(spark, sf_dir):
+    """Exact percent_rank of per-doc token counts
+    (curation.percentile_ranks): histogram-first so the cumulative window
+    runs over DISTINCT VALUES (O(distinct)) instead of the naive
+    percent_rank() window's single-partition row sort — the oracle IS
+    that naive window in DuckDB, so the two formulations check each
+    other."""
+    from mr_crawly_spark.functions.text import token_count
+    from mr_crawly_spark.operators.curation import percentile_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    return percentile_ranks(d, "n_toks")
+
+
 def q_pmi(spark, sf_dir):
     """Top-50 PMI collocations (curation.pmi_collocations, Church & Hanks
     1990 estimator with a min_count=3 rare-pair floor): two map-side
@@ -1893,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inv_phrase": q_inv_phrase,
         "triangles": q_triangles,
         "pmi": q_pmi,
+        "pct_ranks": q_pct_ranks,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
@@ -2577,6 +2593,14 @@ def oracle_sql() -> dict[str, str]:
         # Spark side builds from two disjoint slices and folds; only a
         # correct merge reproduces the full-corpus fingerprints.
         "inv_merge": INV_INDEX_SQL,
+        "pct_ranks": f"""
+            WITH d AS (
+              SELECT doc_id, len({toks})::BIGINT AS n_toks FROM documents
+            )
+            SELECT doc_id, n_toks,
+                   round(percent_rank() OVER (ORDER BY n_toks), 4) AS pct
+            FROM d
+        """,
         "pmi": f"""
             WITH d AS (
               SELECT {toks} AS w FROM documents

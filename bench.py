@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     # round 5h: degree-ordered triangle counting, PMI collocations
     "triangles",
     "pmi",
+    "pct_ranks",
 ]
 
 

@@ -763,6 +763,51 @@ def top_ngrams(
     ).limit(k)
 
 
+def percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact percent_rank of every row's ``value_col`` — the
+    normalization step before mixing heterogeneous quality signals
+    (length, lang-ID confidence, classifier logits score on incompatible
+    scales; their percentiles mix): pct = #strictly-smaller / (n-1),
+    ties share a rank, 4dp-rounded. Output (id_col, value_col, pct).
+
+    Scale shape: the naive percent_rank() window orders ALL ROWS in one
+    partition — a 10^10-row sort funnelled through one task. This
+    instead aggregates a VALUE HISTOGRAM first (one map-side-combined
+    shuffle; quality signals have bounded domains — lengths, rounded
+    scores — so the histogram is tiny relative to the corpus), runs the
+    cumulative window over DISTINCT VALUES (O(distinct), not O(rows)),
+    and joins ranks back by value (AQE-broadcast for small histograms).
+    The length_quantiles rank-straddle trick, applied rowwise."""
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(value_col).isNotNull())  # null has no rank
+    hist = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "_v",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("_n")).first()
+    n = int(totals["_n"] or 0)
+    if n <= 1:
+        return df.select(
+            id_col, value_col, F.lit(0.0).alias("pct")
+        )
+    pct = F.round(F.col("_below") / F.lit(float(n - 1)), 4)
+    return (
+        df.join(ranked, F.col(value_col) == F.col("_v"))
+        .select(id_col, value_col, pct.alias("pct"))
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     k: int = 50,

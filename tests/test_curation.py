@@ -834,3 +834,39 @@ def test_pmi_collocations_partition_invariance(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_percentile_ranks_matches_reference(spark):
+    from mr_crawly_spark.operators.curation import percentile_ranks
+
+    rows = [(i, [5, 2, 9, 2, 7, 5, 5, 1, 9, 3][i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    got = {
+        r["doc_id"]: r["pct"] for r in percentile_ranks(df, "v").collect()
+    }
+    vals = [v for _, v in rows]
+    want = {
+        i: round(sum(1 for x in vals if x < v) / (len(vals) - 1), 4)
+        for i, v in rows
+    }
+    assert got == want
+    # ties share a rank; min value -> 0.0; max -> below/(n-1)
+    assert got[1] == got[3]
+    assert got[7] == 0.0
+
+
+def test_percentile_ranks_edges_and_invariance(spark):
+    from mr_crawly_spark.operators.curation import percentile_ranks
+
+    one = spark.createDataFrame([(1, 42)], "doc_id long, v long")
+    assert percentile_ranks(one, "v").collect()[0]["pct"] == 0.0
+    withnull = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, v long"
+    )
+    got = {r["doc_id"]: r["pct"] for r in percentile_ranks(withnull, "v").collect()}
+    assert set(got) == {1, 3}  # null rows have no rank
+    rows = [(i, (i * 17) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    a = sorted(map(tuple, percentile_ranks(df, "v").collect()))
+    b = sorted(map(tuple, percentile_ranks(df.repartition(9), "v").collect()))
+    assert a == b
