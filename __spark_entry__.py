@@ -1730,6 +1730,18 @@ def q_inv_search(spark, sf_dir):
     return hits.withColumn("score", F.round("score", 4))
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Bigram-LM perplexity filter (curation.bigram_perplexity — the
+    CCNet §4.3 stage with the corpus as its own LM): add-1-smoothed
+    P(b|a) from corpus bigram counts, context mass derived FROM the
+    bigram table (no second pass), decimal-quantized ln contributions.
+    The DuckDB oracle re-derives counts/context/V/score from raw text."""
+    from mr_crawly_spark.operators.curation import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs)
+
+
 def q_pct_ranks(spark, sf_dir):
     """Exact percent_rank of per-doc token counts
     (curation.percentile_ranks): histogram-first so the cumulative window
@@ -1909,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "pmi": q_pmi,
         "pct_ranks": q_pct_ranks,
+        "bigram_ppl": q_bigram_ppl,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mix": q_temperature_mix,
@@ -2593,6 +2606,40 @@ def oracle_sql() -> dict[str, str]:
         # Spark side builds from two disjoint slices and folds; only a
         # correct merge reproduces the full-corpus fingerprints.
         "inv_merge": INV_INDEX_SQL,
+        "bigram_ppl": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS w FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            bg AS (
+              SELECT doc_id, unnest({shingle2_list}) AS b FROM t
+            ),
+            tf AS (
+              SELECT doc_id, b, count(*)::BIGINT AS tf
+              FROM bg GROUP BY 1, 2
+            ),
+            model AS (SELECT b, sum(tf)::BIGINT AS cab FROM tf GROUP BY 1),
+            ctx AS (
+              SELECT split_part(b, ' ', 1) AS a, sum(cab)::BIGINT AS ca
+              FROM model GROUP BY 1
+            ),
+            vv AS (
+              SELECT count(DISTINCT tt)::DOUBLE AS v
+              FROM (SELECT unnest(w) AS tt FROM t)
+            ),
+            sc AS (
+              SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+                     sum((tf.tf * ln((model.cab + 1.0) / (ctx.ca + vv.v)))
+                         ::DECIMAL(20,6))::DOUBLE AS s
+              FROM tf
+              JOIN model USING (b)
+              JOIN ctx ON ctx.a = split_part(tf.b, ' ', 1), vv
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   round(exp(-s / n_bigrams), 4) AS ppl
+            FROM sc
+        """,
         "pct_ranks": f"""
             WITH d AS (
               SELECT doc_id, len({toks})::BIGINT AS n_toks FROM documents

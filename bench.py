@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "triangles",
     "pmi",
     "pct_ranks",
+    "bigram_ppl",
 ]
 
 

@@ -538,6 +538,96 @@ def unigram_logprob(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Bigram-LM perplexity of each document under the corpus's OWN
+    add-k-smoothed bigram distribution — the CCNet perplexity-filtering
+    stage (Wenzek et al. 2020 §4.3 rank by LM perplexity; they use a
+    pretrained KenLM, here the corpus itself is the LM, the same
+    self-trained stance as unigram_logprob one level up the n-gram
+    ladder). Low ppl = templated/boilerplate text, high ppl = gibberish;
+    both tails are what the filter trims.
+
+    P(b|a) = (c(ab) + k) / (c(a·) + k·V) with c(a·) = Σ_b c(ab) (context
+    mass from the bigram table itself) and V = corpus unigram vocabulary;
+    ppl(doc) = exp(-Σ tf·ln P / n_bigrams). Docs with no bigram (< 2
+    tokens) are excluded. Output: (id_col, n_bigrams, ppl), 4dp.
+
+    Scale shape: per-doc bigram tf and the corpus model are two map-side-
+    combined aggs over one explode; the context table derives FROM the
+    model (groupBy on the first word — no second corpus pass); only two
+    scalars (V, total) reach the driver. Joins are on bigram then first-
+    word — both already tf-collapsed per doc, so the hottest key is one
+    row per doc. Each ln-contribution is decimal(20,6)-quantized, making
+    the per-doc sum partition-order invariant (inv_search convention)."""
+    from mr_crawly_spark.functions.text import shingles_of_tokens, tokens
+
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    # whitespace-only docs tokenize to [""] — drop them BEFORE the vocab
+    # count or the phantom empty token inflates V
+    d = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    )
+    bg = d.select(
+        F.col(id_col),
+        F.explode(shingles_of_tokens(F.col("_t"), 2)).alias("_b"),
+    )
+    tf = bg.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf")
+    )
+    model = tf.groupBy("_b").agg(F.sum("_tf").cast("bigint").alias("_cab"))
+    ctx = model.groupBy(
+        F.split(F.col("_b"), " ", 2)[0].alias("_a")
+    ).agg(F.sum("_cab").cast("bigint").alias("_ca"))
+    v_row = (
+        d.select(F.explode("_t").alias("_w")).agg(
+            F.count_distinct("_w").alias("v")
+        ).first()
+    )
+    v = int(v_row["v"] or 0)
+    if v == 0:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    docs.schema[id_col],
+                    StructField("n_bigrams", LongType()),
+                    StructField("ppl", DoubleType()),
+                ]
+            ),
+        )
+    ln_p = F.log(
+        (F.col("_cab") + F.lit(float(k)))
+        / (F.col("_ca") + F.lit(float(k) * v))
+    )
+    contrib = (F.col("_tf") * ln_p).cast("decimal(20,6)")
+    return (
+        tf.join(model, "_b")
+        .join(ctx, F.split(F.col("_b"), " ", 2)[0] == F.col("_a"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_bigrams"),
+            F.sum(contrib).cast("double").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.exp(-F.col("_s") / F.col("n_bigrams")), 4
+            ).alias("ppl"),
+        )
+    )
+
+
 def temperature_mix_weights(
     counts: dict[str, int], alpha: float, target_frac: float
 ) -> dict[str, float]:

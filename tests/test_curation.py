@@ -870,3 +870,75 @@ def test_percentile_ranks_edges_and_invariance(spark):
     a = sorted(map(tuple, percentile_ranks(df, "v").collect()))
     b = sorted(map(tuple, percentile_ranks(df.repartition(9), "v").collect()))
     assert a == b
+
+
+def _ref_bigram_ppl(rows, k=1.0):
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    uni = set()
+    model: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text in rows:
+        w = text.strip().split()
+        uni.update(w)
+        bgs = Counter(f"{a} {b}" for a, b in zip(w, w[1:]))
+        if bgs:
+            per_doc[doc_id] = bgs
+        model.update(bgs)
+    ctx: Counter = Counter()
+    for b, c in model.items():
+        ctx[b.split(" ")[0]] += c
+    v = len(uni)
+    out = {}
+    for doc_id, bgs in per_doc.items():
+        s = Decimal(0)
+        n = sum(bgs.values())
+        for b, tf in bgs.items():
+            p = (model[b] + k) / (ctx[b.split(" ")[0]] + k * v)
+            s += Decimal(tf * math.log(p)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        out[doc_id] = (n, round(math.exp(-float(s) / n), 4))
+    return out
+
+
+def test_bigram_perplexity_matches_reference(spark):
+    from mr_crawly_spark.operators.curation import bigram_perplexity
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),   # templated twin -> low ppl
+        (3, "zq xv qp mn zz kk"),        # gibberish -> high ppl
+        (4, "the cat"),                  # one bigram
+        (5, "single"),                   # no bigram -> excluded
+        (6, "  "),                       # empty -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in bigram_perplexity(df).collect()
+    }
+    want = _ref_bigram_ppl(rows)
+    assert got == want
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3][1] > got[1][1]  # gibberish scores higher ppl
+
+
+def test_bigram_perplexity_edges_and_invariance(spark):
+    import pytest as _pytest
+
+    from mr_crawly_spark.operators.curation import bigram_perplexity
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bigram_perplexity(empty).count() == 0
+    df = spark.createDataFrame(
+        [(i, f"a{i % 4} b{i % 3} a{i % 4} c{i % 5}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_perplexity(df).collect()))
+    b = sorted(map(tuple, bigram_perplexity(df.repartition(7)).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        bigram_perplexity(df, k=0)
