@@ -1884,6 +1884,88 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def _trap_frontier(spark, sf_dir):
+    """Deterministic synthetic frontier for the crawl-trap entries: 20
+    hosts from doc_id; every 5th host is a session-ID trap (sid=s<doc_id>
+    is unique per URL, so the host's URL space grows with the corpus),
+    healthy hosts carry a genuine low-cardinality facet (page=0..6) on
+    every 3rd doc. The base path (doc_id % 5) is CONSTANT within a host
+    (host is doc_id % 20), so stripping sid genuinely collapses the trap
+    host's frontier (25 -> 7 at sf0.01) instead of leaving distinct
+    paths behind. The healthy facet's value_ratio is 1.0 (7 values over
+    its 7 distinct URLs), so min_urls is the clause keeping it unflagged
+    — the fixture exercises both flag conditions non-vacuously."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 20).cast("string"), F.lit(".test"))
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/a/p"), (did % 5).cast("string")
+    )
+    url = (
+        F.when(
+            (did % 20) % 5 == 0,
+            F.concat(
+                base,
+                F.lit("?sid=s"), did.cast("string"),
+                F.lit("&page="), (did % 7).cast("string"),
+            ),
+        )
+        .when(did % 3 == 0, F.concat(base, F.lit("?page="), (did % 7).cast("string")))
+        .otherwise(base)
+    )
+    return docs.select(host.alias("host"), url.alias("url"))
+
+
+def q_trap_params(spark, sf_dir):
+    """Crawl-trap detection #1 (operators/traps.py trap_param_stats):
+    per-(host, param) value-cardinality over a synthetic frontier with
+    planted session-ID traps — the pre-fetch gate the reference's
+    max-pages-only bound lacks (reference mr_crawly/manager.py). One
+    map-side-combined agg; output bounded by the host x param vocabulary."""
+    from mr_crawly_spark.operators import traps as TR
+
+    fr = _trap_frontier(spark, sf_dir)
+    return TR.trap_param_stats(fr, min_urls=12, value_ratio=0.5)
+
+
+def q_trap_collapse(spark, sf_dir):
+    """Crawl-trap mitigation (operators/traps.py strip_trap_params +
+    collapse_stats): strip ONLY the flagged params and count the per-host
+    frontier shrinkage — trap hosts collapse 25 -> 7 at sf0.01 (the page
+    facet survives, the sid axis dies), healthy hosts are byte-identical
+    (idempotence is tested in tests/test_traps.py)."""
+    from mr_crawly_spark.operators import traps as TR
+
+    fr = _trap_frontier(spark, sf_dir)
+    stats = TR.trap_param_stats(fr, min_urls=12, value_ratio=0.5)
+    return TR.collapse_stats(fr, stats)
+
+
+def q_url_templates(spark, sf_dir):
+    """Crawl-trap detection #2 (operators/traps.py template_stats):
+    path-side high-entropy templating — trap hosts embed md5 session
+    tokens in the PATH (no query string for the param signal to see);
+    collapsing only >=8-char hex / >=6-digit runs keeps /p12-style
+    pagination distinct, so healthy hosts stay unflagged."""
+    from mr_crawly_spark.operators import traps as TR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 20).cast("string"), F.lit(".test"))
+    url = F.when(
+        (did % 20) % 5 == 0,
+        F.concat(
+            F.lit("https://"), host, F.lit("/s/"), F.md5(did.cast("string"))
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"), (did % 40).cast("string")
+        )
+    )
+    fr = docs.select(host.alias("host"), url.alias("url"))
+    return TR.template_stats(fr, min_urls=10, expansion=5.0)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1989,6 +2071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
+        "trap_params": q_trap_params,
+        "trap_collapse": q_trap_collapse,
+        "url_templates": q_url_templates,
     }
 
 
@@ -4150,5 +4235,113 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
                (doc_id = cluster_id) AS kept
         FROM comp
+    """
+    # crawl-trap entries share one synthetic frontier (q_trap_params doc)
+    trap_fr = """
+        SELECT 'h' || (doc_id % 20)::VARCHAR || '.test' AS host,
+               'https://h' || (doc_id % 20)::VARCHAR || '.test/a/p'
+               || (doc_id % 5)::VARCHAR
+               || (CASE WHEN (doc_id % 20) % 5 = 0
+                        THEN '?sid=s' || doc_id::VARCHAR
+                             || '&page=' || (doc_id % 7)::VARCHAR
+                        WHEN doc_id % 3 = 0
+                        THEN '?page=' || (doc_id % 7)::VARCHAR
+                        ELSE '' END) AS url
+        FROM documents
+    """
+    trap_stats = f"""
+        fr AS ({trap_fr}),
+        kv AS (
+          SELECT host, url,
+                 unnest(string_split(substr(url, position('?' IN url) + 1),
+                                     '&')) AS kv
+          FROM fr WHERE contains(url, '?')
+        ),
+        pairs AS (
+          SELECT host, url, split_part(kv, '=', 1) AS param,
+                 CASE WHEN contains(kv, '=')
+                      THEN substr(kv, position('=' IN kv) + 1)
+                      ELSE '' END AS value
+          FROM kv WHERE kv <> ''
+        ),
+        st AS (
+          SELECT host, param, count(DISTINCT url)::BIGINT AS n_urls,
+                 count(DISTINCT value)::BIGINT AS n_values
+          FROM pairs GROUP BY host, param
+        )
+    """
+    d["trap_params"] = f"""
+        WITH {trap_stats}
+        SELECT host, param, n_urls, n_values,
+               round(n_values / n_urls, 4) AS value_ratio,
+               (n_urls >= 12 AND n_values / n_urls >= 0.5) AS is_trap
+        FROM st
+    """
+    d["trap_collapse"] = f"""
+        WITH {trap_stats},
+        traps AS (
+          SELECT host, list(param) AS tp
+          FROM st WHERE n_urls >= 12 AND n_values / n_urls >= 0.5
+          GROUP BY host
+        ),
+        j AS (
+          SELECT f.host, f.url,
+                 CASE WHEN t.tp IS NULL OR NOT contains(f.url, '?')
+                      THEN f.url
+                      WHEN len(list_filter(
+                             string_split(substr(f.url,
+                                 position('?' IN f.url) + 1), '&'),
+                             x -> NOT list_contains(t.tp,
+                                      split_part(x, '=', 1)))) = 0
+                      THEN split_part(f.url, '?', 1)
+                      ELSE split_part(f.url, '?', 1) || '?' ||
+                           array_to_string(list_filter(
+                             string_split(substr(f.url,
+                                 position('?' IN f.url) + 1), '&'),
+                             x -> NOT list_contains(t.tp,
+                                      split_part(x, '=', 1))), '&')
+                 END AS cleaned
+          FROM fr f LEFT JOIN traps t ON f.host = t.host
+        )
+        SELECT host, count(DISTINCT url)::BIGINT AS n_before,
+               count(DISTINCT cleaned)::BIGINT AS n_after,
+               round((count(DISTINCT url) - count(DISTINCT cleaned))
+                     / count(DISTINCT url), 4) AS saved_frac
+        FROM j GROUP BY host
+    """
+    # hex-run collapse FIRST (a long digit run is also hex) — ordering is
+    # shared with operators/traps.py url_template_col
+    d["url_templates"] = """
+        WITH fr AS (
+          SELECT 'h' || (doc_id % 20)::VARCHAR || '.test' AS host,
+                 CASE WHEN (doc_id % 20) % 5 = 0
+                      THEN 'https://h' || (doc_id % 20)::VARCHAR
+                           || '.test/s/' || md5(doc_id::VARCHAR)
+                      ELSE 'https://h' || (doc_id % 20)::VARCHAR
+                           || '.test/p' || (doc_id % 40)::VARCHAR
+                 END AS url
+          FROM documents
+        ),
+        t AS (
+          SELECT host, url,
+                 regexp_replace(regexp_replace(url, '[0-9a-fA-F]{8,}', '#',
+                                               'g'),
+                                '[0-9]{6,}', '#', 'g') AS tmpl
+          FROM fr
+        ),
+        pt AS (
+          SELECT host, tmpl, count(DISTINCT url)::BIGINT AS cnt
+          FROM t GROUP BY host, tmpl
+        ),
+        ph AS (
+          SELECT host, sum(cnt)::BIGINT AS n_urls,
+                 count(*)::BIGINT AS n_templates, max(cnt)::BIGINT AS top
+          FROM pt GROUP BY host
+        )
+        SELECT host, n_urls, n_templates,
+               round(n_urls / n_templates, 4) AS expansion,
+               round(top / n_urls, 4) AS top_share,
+               (n_urls >= 10 AND n_urls / n_templates >= 5.0) AS is_trap
+        FROM ph
     """
     return d

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "pmi",
     "pct_ranks",
     "bigram_ppl",
+    # round 5i: crawl-trap detection + frontier collapse
+    "trap_params",
+    "trap_collapse",
+    "url_templates",
 ]
 
 
