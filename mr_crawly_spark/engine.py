@@ -114,6 +114,17 @@ class CrawlConfig:
     # oracle-lockstep ordering is unchanged unless an operator opts in.
     use_pagerank_priority: bool = False
     pagerank_weight: float = 1.0
+    # opt-in crawl-trap gate (beyond the reference; operators/traps.py):
+    # when enabled AND stats have been mined (refresh_trap_stats), each
+    # round's candidate outlinks are rewritten WITHOUT their host's
+    # flagged parameters before the seen anti-join — an infinite URL axis
+    # (session ids, tracking params) collapses to its canonical form
+    # instead of consuming frontier rows and the max_pages budget. OFF by
+    # default — golden oracle-lockstep link/url behavior is unchanged
+    # unless an operator opts in (same contract as use_pagerank_priority).
+    use_trap_gate: bool = False
+    trap_min_urls: int = 20
+    trap_value_ratio: float = 0.5
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -179,6 +190,9 @@ class CrawlEngine:
         self._cuckoo_sidecar_mode = False
         # (url, rank) from the last refresh_pagerank(); None until computed
         self._ranks: DataFrame | None = None
+        # (host, param, ...) stats from the last refresh_trap_stats();
+        # None until mined — the trap gate stays inert until then
+        self._trap_stats: DataFrame | None = None
         # in-memory state between parquet snapshots. The frontier is held
         # merge-on-read: an immutable base (last snapshot) + a small
         # localCheckpoint'ed last-writer-wins update set — a round never
@@ -869,6 +883,15 @@ class CrawlEngine:
             .dropDuplicates(["url"])
             .withColumn("url_hash", rc["cand_hash"])
         )
+        # --- opt-in trap gate (beyond-ref; operators/traps.py) -----------
+        # armed by refresh_trap_stats(): candidates are rewritten without
+        # their host's flagged parameters BEFORE the seen anti-join, so an
+        # infinite URL axis (session ids / tracking params) collapses to
+        # its canonical form instead of consuming frontier + fetch budget
+        if self.cfg.use_trap_gate and self._trap_stats is not None:
+            from mr_crawly_spark.operators.traps import strip_candidate_traps
+
+            candidates = strip_candidate_traps(candidates, self._trap_stats)
         self._maybe_build_blooms(self._seen_full_view())
         self._maybe_build_cuckoo(self._seen_full_view())
         if self._cuckoo_sidecar_mode:
@@ -1184,6 +1207,29 @@ class CrawlEngine:
         )
         self._ranks = ranks.localCheckpoint()
         return self._ranks.count()
+
+    def refresh_trap_stats(self) -> int:
+        """Mine per-(host, param) value-cardinality trap stats over every
+        URL the crawl has enqueued (the frontier view) and arm the opt-in
+        trap gate (cfg.use_trap_gate): subsequent rounds strip the flagged
+        parameters from candidate outlinks before the seen anti-join. An
+        explicit operator action like refresh_pagerank — stats are ONE
+        map-side-combined agg bounded by the host x param vocabulary, run
+        at recrawl cadence, not per round. Returns the number of flagged
+        (host, param) pairs; 0 leaves the gate armed but inert (clean
+        frontiers pass through byte-identical)."""
+        from mr_crawly_spark.operators.traps import trap_param_stats
+
+        frontier = self.table("frontier")  # flushes pending round state
+        if frontier is None:
+            return 0
+        stats = trap_param_stats(
+            frontier.select("host", "url"),
+            min_urls=self.cfg.trap_min_urls,
+            value_ratio=self.cfg.trap_value_ratio,
+        ).filter(F.col("is_trap"))
+        self._trap_stats = stats.localCheckpoint()
+        return self._trap_stats.count()
 
     def schedule_recrawl(self, t_now: float | None = None) -> int:
         """Re-enqueue stale fetched pages per their sitemap ``change_freq``

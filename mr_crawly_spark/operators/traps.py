@@ -217,6 +217,24 @@ def collapse_stats(
     return agg.select(host_col, "n_before", "n_after", saved.alias("saved_frac"))
 
 
+def strip_candidate_traps(candidates: DataFrame, stats: DataFrame) -> DataFrame:
+    """Engine-facing strip for a candidate outlink set keyed by URL only
+    (engine.py run_round's ``candidates``): derive the host (parse_url —
+    engine URLs are already canonical), rewrite without flagged params,
+    collapse to distinct URLs, recompute the seen-set hash. Output schema
+    (url, url_hash) matches what the seen anti-join consumes, so the gate
+    is a drop-in stage between outlink dedup and filter_unseen."""
+    from mr_crawly_spark.functions.urls import url_hash_col, url_host_col
+
+    with_host = candidates.select(
+        url_host_col(F.col("url")).alias("host"), "url"
+    )
+    cleaned = strip_trap_params(with_host, stats, url_col="url", host_col="host")
+    return cleaned.select("url").withColumn(
+        "url_hash", url_hash_col(F.col("url"))
+    )
+
+
 def template_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -188,3 +188,108 @@ def test_empty_frontier(spark):
     stats = TR.trap_param_stats(fr)
     assert TR.strip_trap_params(fr, stats).count() == 0
     assert TR.collapse_stats(fr, stats).count() == 0
+
+
+# --------------------------------------------------------------------- #
+# engine wiring: the opt-in trap gate (CrawlConfig.use_trap_gate +
+# CrawlEngine.refresh_trap_stats) strips flagged params from candidate
+# outlinks BEFORE the seen anti-join, so the infinite axis stops growing
+# while the already-enqueued rows play out normally
+
+def _trap_corpus(n_sids: int = 12):
+    """One host; root links to n_sids session-decorated /a{i}?sid=s{i}
+    pages, each of which links to /b?sid=s{i} — a second infinite axis.
+    The canonical https://t.test/b exists, so a gated crawl lands on it."""
+    from mr_crawly_spark.datagen import Corpus
+
+    host = "t.test"
+    root = f"https://{host}/"
+
+    def spans(hrefs):
+        out = [{"kind": "text", "text": "intro", "media_ref": None, "offset": 0}]
+        for i, h in enumerate(hrefs):
+            out.append(
+                {"kind": "link", "text": h, "media_ref": None, "offset": i + 1}
+            )
+        return out
+
+    a_sids = [f"https://{host}/a{i}?sid=s{i}" for i in range(n_sids)]
+    c = Corpus()
+    c.hosts = [host]
+    c.documents = [{"doc_id": root, "spans": spans(a_sids)}]
+    for i in range(n_sids):
+        c.documents.append(
+            {"doc_id": a_sids[i], "spans": spans([f"/b?sid=s{i}"])}
+        )
+        c.documents.append(
+            {"doc_id": f"https://{host}/b?sid=s{i}", "spans": spans([])}
+        )
+    c.documents.append({"doc_id": f"https://{host}/b", "spans": spans([])})
+    c.seeds = [
+        {"seed_url_id": 1, "domain": host, "url": root, "description": "seed"}
+    ]
+    return c
+
+
+def _trap_engine(spark, corpus, **kw):
+    import tempfile
+
+    from mr_crawly_spark.datagen import corpus_to_spark
+    from mr_crawly_spark.engine import CrawlConfig, CrawlEngine
+    from mr_crawly_spark.sources.corpus import CorpusFetcher
+
+    docs, robots, sitemaps, seeds = corpus_to_spark(spark, corpus)
+    return CrawlEngine(
+        spark,
+        CorpusFetcher(spark, documents=docs),
+        robots, sitemaps, seeds,
+        CrawlConfig(
+            warehouse=tempfile.mkdtemp(prefix="trap_gate_"), max_pages=60, **kw
+        ),
+    )
+
+
+def test_engine_trap_gate_stops_infinite_axis(spark):
+    corpus = _trap_corpus()
+    eng = _trap_engine(
+        spark, corpus, use_trap_gate=True, trap_min_urls=10,
+        trap_value_ratio=0.5,
+    )
+    # two ungated rounds: root + first politeness-budget slice of a-sids;
+    # the frontier accumulates enough sid URLs to cross trap_min_urls
+    eng.bootstrap()
+    eng.run_round()
+    eng.run_round()
+    fr = eng.table("frontier")
+    b_sids_before = {
+        r["url"] for r in fr.collect() if r["url"].startswith("https://t.test/b?")
+    }
+    flagged = eng.refresh_trap_stats()
+    assert flagged == 1  # (t.test, sid)
+    # play the crawl out: every later /b?sid=... candidate is stripped to
+    # the canonical /b, so the second axis gains ZERO new frontier rows
+    for _ in range(20):
+        m = eng.run_round()
+        if m["processed"] == 0:
+            break
+    fr = eng.table("frontier")
+    urls = {r["url"] for r in fr.collect()}
+    assert "https://t.test/b" in urls
+    b_sids_after = {u for u in urls if u.startswith("https://t.test/b?")}
+    assert b_sids_after == b_sids_before
+    # the canonical target was actually fetched, not just enqueued
+    pages = eng.table("pages").filter(
+        (F.col("url") == "https://t.test/b") & (F.col("fetch_status") == 200)
+    )
+    assert pages.count() == 1
+
+
+def test_engine_trap_gate_off_by_default(spark):
+    """Control: without the gate every b-sid is enqueued and the canonical
+    /b (linked from nowhere) never appears."""
+    corpus = _trap_corpus()
+    eng = _trap_engine(spark, corpus)
+    eng.run()
+    urls = {r["url"] for r in eng.table("frontier").collect()}
+    assert "https://t.test/b" not in urls
+    assert len({u for u in urls if u.startswith("https://t.test/b?")}) == 12
