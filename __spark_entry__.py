@@ -1966,6 +1966,58 @@ def q_url_templates(spark, sf_dir):
     return TR.template_stats(fr, min_urls=10, expansion=5.0)
 
 
+def _visit_history(spark, sf_dir):
+    """Deterministic synthetic visit history for the freshness entries:
+    one url per doc, 4 visits an hour apart (every 7th url gets only ONE
+    visit — the no-evidence cold-start class), fingerprints change on a
+    per-class period: doc_id%4==0 never changes within the window,
+    %4==1 changes every visit, else every 2nd visit. All four estimator
+    regimes (rate 0, saturated X=n, intermediate, NULL) are populated, so
+    the oracle comparison is non-vacuous on every branch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 50).cast("string"),
+        F.lit(".test/p"), did.cast("string"),
+    )
+    nv = F.when(did % 7 == 0, F.lit(1)).otherwise(F.lit(4))
+    period = (
+        F.when(did % 4 == 0, F.lit(1000))
+        .when(did % 4 == 1, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    v = docs.select(
+        url.alias("url"),
+        did.alias("_did"),
+        period.alias("_p"),
+        F.explode(F.sequence(F.lit(0), nv - 1)).alias("_k"),
+    )
+    ts = (F.col("_did") % 97).cast("double") * 10.0 + F.col("_k") * 3600.0
+    fp = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("_did").cast("string"),
+            F.floor(F.col("_k") / F.col("_p")).cast("string"),
+        )
+    )
+    return v.select("url", ts.alias("visit_ts"), fp.alias("fingerprint"))
+
+
+def q_change_rate(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (operators/freshness.py):
+    Cho & Garcia-Molina TODS'03 bias-reduced Poisson change-rate per url
+    from the crawler's own visit history, plus the staleness-probability
+    recrawl priority at a fixed 'now' — the measured replacement for the
+    reference's trust-the-sitemap <changefreq> recrawl metadata
+    (reference mr_crawly/site_mapper.py get_sitemap_urls). One shuffle:
+    the lag window and the per-url agg share the url partitioning."""
+    from mr_crawly_spark.operators import freshness as FR
+
+    visits = _visit_history(spark, sf_dir)
+    rates = FR.change_rates(FR.change_stats(visits))
+    return FR.recrawl_priorities(rates, now_ts=200000.0)
+
+
 # --------------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2074,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_params": q_trap_params,
         "trap_collapse": q_trap_collapse,
         "url_templates": q_url_templates,
+        "change_rate": q_change_rate,
     }
 
 
@@ -4343,5 +4396,54 @@ def oracle_sql() -> dict[str, str]:
                round(top / n_urls, 4) AS top_share,
                (n_urls >= 10 AND n_urls / n_templates >= 5.0) AS is_trap
         FROM ph
+    """
+    # Cho & Garcia-Molina TODS'03 bias-reduced estimator replayed from raw
+    # visit rows: lag-window change flags -> per-url counts -> the ln
+    # formula -> staleness at now=200000. Both engines round the ln/exp
+    # outputs to 8dp so a last-ulp libm difference cannot flip the hash.
+    d["change_rate"] = """
+        WITH v AS (
+          SELECT 'https://h' || (doc_id % 50)::VARCHAR || '.test/p'
+                 || doc_id::VARCHAR AS url,
+                 (doc_id % 97)::DOUBLE * 10.0 + k * 3600.0 AS visit_ts,
+                 md5(doc_id::VARCHAR || ':' ||
+                     (k // (CASE WHEN doc_id % 4 = 0 THEN 1000
+                                 WHEN doc_id % 4 = 1 THEN 1
+                                 ELSE 2 END))::VARCHAR) AS fingerprint
+          FROM (SELECT doc_id,
+                       unnest(range(0, CASE WHEN doc_id % 7 = 0
+                                            THEN 1 ELSE 4 END)) AS k
+                FROM documents)
+        ),
+        lagd AS (
+          SELECT url, visit_ts,
+                 CASE WHEN lag(fingerprint) OVER w IS NOT NULL
+                           AND fingerprint <> lag(fingerprint) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM v
+          WINDOW w AS (PARTITION BY url ORDER BY visit_ts, fingerprint)
+        ),
+        st AS (
+          SELECT url, count(*)::BIGINT AS n_visits,
+                 sum(chg)::BIGINT AS n_changes,
+                 max(visit_ts) - min(visit_ts) AS span_sec,
+                 max(visit_ts) AS last_ts
+          FROM lagd GROUP BY url
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN n_visits >= 2 AND span_sec > 0
+                      THEN round(-ln((n_visits - 1 - n_changes + 0.5)
+                                     / (n_visits - 1 + 0.5))
+                                 / (span_sec / (n_visits - 1)), 8)
+                 END AS change_rate
+          FROM st
+        )
+        SELECT url, n_visits, n_changes, span_sec, last_ts, change_rate,
+               CASE WHEN change_rate IS NOT NULL
+                    THEN round(1.0 - exp(-change_rate *
+                             greatest(200000.0 - last_ts, 0.0)), 8)
+               END AS recrawl_priority
+        FROM r
     """
     return d
