@@ -125,6 +125,18 @@ class CrawlConfig:
     use_trap_gate: bool = False
     trap_min_urls: int = 20
     trap_value_ratio: float = 0.5
+    # opt-in freshness-measured recrawl ordering (beyond the reference,
+    # which trusts sitemap <changefreq>/<priority> at face value;
+    # operators/freshness.py, Cho & Garcia-Molina TODS'03): when enabled,
+    # schedule_recrawl() replaces the sitemap-declared priority of each
+    # re-enqueued row that has >=2 archived fetches with the MEASURED
+    # staleness probability from the pages table's own fingerprint
+    # history — pages that actually change outrank pages whose sitemap
+    # merely claims they do. Urls without change evidence (single visit)
+    # keep their sitemap priority (cold-start policy). OFF by default —
+    # golden oracle-lockstep ordering is unchanged unless an operator
+    # opts in (same contract as use_pagerank_priority/use_trap_gate).
+    use_freshness: bool = False
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -1231,6 +1243,38 @@ class CrawlEngine:
         self._trap_stats = stats.localCheckpoint()
         return self._trap_stats.count()
 
+    def measured_change_rates(self, t_now: float | None = None) -> DataFrame | None:
+        """Per-url MEASURED change rate + staleness-at-t_now recrawl
+        priority (operators/freshness.py, Cho & Garcia-Molina TODS'03),
+        derived from the engine's own archive: every successful fetch
+        appends a pages row stamped with its round, so the pages table IS
+        the visit history — visit_ts = round * ROUND_SECONDS, fingerprint
+        = md5 of the canonicalized span payload (array_sorted so storage
+        order can never alias a content change). None until something has
+        been fetched; urls with a single visit carry NULL rate/priority
+        (no evidence — the caller's cold-start policy decides, see
+        schedule_recrawl). One url-keyed shuffle over the pages table,
+        at recrawl cadence only — never in the round loop (same contract
+        as refresh_pagerank)."""
+        from mr_crawly_spark.operators import freshness as FR
+
+        pages = self.catalog.load("pages", max_round=self.round)
+        if pages is None:
+            return None
+        t = t_now if t_now is not None else self.round * ROUND_SECONDS
+        visits = pages.filter(
+            (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
+        ).select(
+            "url",
+            (F.col("round").cast("double") * float(ROUND_SECONDS)).alias(
+                "visit_ts"
+            ),
+            F.md5(F.to_json(F.array_sort(F.col("spans")))).alias("fingerprint"),
+        )
+        return FR.recrawl_priorities(
+            FR.change_rates(FR.change_stats(visits)), now_ts=t
+        )
+
     def schedule_recrawl(self, t_now: float | None = None) -> int:
         """Re-enqueue stale fetched pages per their sitemap ``change_freq``
         (O2): fetched rows with recrawl metadata flip back to pending with
@@ -1244,7 +1288,13 @@ class CrawlEngine:
         new delta whose loc/priority/frequency/modified/status replace the
         existing record per (source_url, index_url) in the last-writer-wins
         view — a changed live sitemap (new priority/lastmod) surfaces in
-        engine.table("sitemaps") after the recrawl cycle."""
+        engine.table("sitemaps") after the recrawl cycle.
+
+        With ``cfg.use_freshness`` on, re-enqueued rows with >=2 archived
+        fetches swap their sitemap priority for the measured staleness
+        probability at t_now (measured_change_rates); eligibility still
+        follows change_freq — freshness reorders the queue, the sitemap
+        metadata decides who is IN it."""
         if any(self._deltas.values()) or self._frontier_updates is not None:
             self.flush()
         t = t_now if t_now is not None else self.round * ROUND_SECONDS
@@ -1259,6 +1309,24 @@ class CrawlEngine:
             "frontier", ("url_hash", "url"), max_round=self.round
         )
         due = recrawl_schedule(frontier, t)
+        if self.cfg.use_freshness:
+            measured = self.measured_change_rates(t_now=t)
+            if measured is not None:
+                cols = due.columns
+                due = (
+                    due.join(
+                        measured.select("url", "recrawl_priority"), "url", "left"
+                    )
+                    .withColumn(
+                        "priority",
+                        F.when(
+                            (F.col("status") == "pending")
+                            & F.col("recrawl_priority").isNotNull(),
+                            F.col("recrawl_priority"),
+                        ).otherwise(F.col("priority")),
+                    )
+                    .select(*cols)
+                )
         self.catalog.commit(
             "frontier", due, self.round, mode="snapshot",
             n_rows=self.frontier_count,

@@ -642,3 +642,105 @@ def test_engine_search_index_incremental(spark, tiny_corpus):
     eng3 = _engine(spark, tiny_corpus)
     with pytest.raises(ValueError, match="search index"):
         eng3.search(["x"])
+
+
+# ------------------------------------------------------------------ #
+# freshness-measured recrawl ordering (beyond-ref; operators/freshness.py
+# wired via CrawlConfig.use_freshness): the pages archive IS the visit
+# history, measured change rates replace sitemap-claimed priority for
+# re-enqueued rows with evidence, cold-start urls keep sitemap priority,
+# and the flag off leaves schedule_recrawl's priorities untouched.
+def test_freshness_measured_recrawl_priorities(spark):
+    import copy
+
+    from mr_crawly_spark.datagen import ROUND_SECONDS, generate_corpus
+
+    # 7 hosts so >=4 urls carry sitemap changefreq (only sitemap first_locs
+    # do): hosts 0/3/6 announce via index leaves, 1/4 via plain sitemap.xml
+    corpus = generate_corpus(n_hosts=7, base_pages=5, hot_factor=2, n_seeds=7)
+    wh = tempfile.mkdtemp(prefix="crawl_frsh_")
+    eng = _engine(spark, corpus, wh=wh, use_page_cache=False)
+    eng.run()
+    meta = {
+        r["url"]: r["change_freq"] for r in eng.table("frontier").collect()
+    }
+    fetched1 = {
+        r["url"]
+        for r in eng.table("pages")
+        .filter(F.col("fetch_status") == 200)
+        .select("url")
+        .distinct()
+        .collect()
+    }
+    recrawlable = sorted(u for u in fetched1 if meta.get(u))
+    assert len(recrawlable) >= 4  # corpus sanity: the test can't be vacuous
+    changed, stable = set(recrawlable[::2]), set(recrawlable[1::2])
+
+    # cycle 2: the "live web" mutates the changed urls' text (links kept
+    # identical so the frontier shape is unchanged); every recrawlable row
+    # is re-pended and re-fetched from the NEW corpus (page cache off)
+    c2 = copy.deepcopy(corpus)
+    for d in c2.documents:
+        if d["doc_id"] in changed:
+            for s in d["spans"]:
+                if s["kind"] == "text":
+                    s["text"] += " v2"
+    docs2, *_ = corpus_to_spark(spark, c2)
+    eng.fetcher = CorpusFetcher(spark, documents=docs2)
+    # freshness off on THIS reschedule: with one visit per url there is no
+    # evidence yet, and the flag-off contract must hold bit-for-bit anyway
+    before = {
+        r["url"]: r["priority"] for r in eng.table("frontier").collect()
+    }
+    eng.schedule_recrawl(t_now=-(10**8))
+    after = {
+        r["url"]: r["priority"] for r in eng.table("frontier").collect()
+    }
+    assert after == before  # flag off: reschedule never touches priority
+    eng.run(fresh=False)
+
+    # measured rates: changed urls have positive rate, stable exactly 0,
+    # single-visit urls NULL — all straight from the pages archive
+    t_star = (eng.round + 50) * ROUND_SECONDS
+    measured = {
+        r["url"]: r.asDict()
+        for r in eng.measured_change_rates(t_now=t_star).collect()
+    }
+    twice = {u for u, m in measured.items() if m["n_visits"] >= 2}
+    assert changed <= twice and stable <= twice  # everything re-fetched
+    for u in changed:
+        assert measured[u]["change_rate"] > 0.0, u
+        assert measured[u]["recrawl_priority"] > 0.0, u
+    for u in stable:
+        assert measured[u]["change_rate"] == 0.0, u
+        assert measured[u]["recrawl_priority"] == 0.0, u
+    for u, m in measured.items():
+        if m["n_visits"] < 2:
+            assert m["change_rate"] is None and m["recrawl_priority"] is None
+
+    # cycle 3 with the flag ON: re-enqueued rows with evidence carry the
+    # measured staleness as priority; no-evidence rows keep sitemap priority
+    sitemap_prio = {
+        r["url"]: r["priority"] for r in eng.table("frontier").collect()
+    }
+    eng.cfg.use_freshness = True
+    eng.schedule_recrawl(t_now=t_star)
+    rows = {
+        r["url"]: r
+        for r in eng._frontier_view()
+        .filter(F.col("status") == "pending")
+        .collect()
+    }
+    assert changed <= set(rows) and stable <= set(rows)
+    for u in changed:
+        assert rows[u]["priority"] == measured[u]["recrawl_priority"], u
+    for u in stable:
+        assert rows[u]["priority"] == 0.0, u
+    # measured ordering: every actually-changing url outranks every
+    # never-changed one — regardless of what the sitemap claimed
+    assert min(rows[u]["priority"] for u in changed) > max(
+        rows[u]["priority"] for u in stable
+    )
+    for u, r in rows.items():
+        if measured.get(u, {}).get("recrawl_priority") is None:
+            assert r["priority"] == sitemap_prio[u], u  # cold-start policy
