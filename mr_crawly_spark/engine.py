@@ -136,7 +136,12 @@ class CrawlConfig:
     # keep their sitemap priority (cold-start policy). OFF by default —
     # golden oracle-lockstep ordering is unchanged unless an operator
     # opts in (same contract as use_pagerank_priority/use_trap_gate).
+    # The measured revisit CADENCE follows too: next_attempt_at =
+    # t_now + clamp(1/rate, min, max) — hot pages come due sooner, dead
+    # ones settle at the ceiling (never a never-recrawl NULL).
     use_freshness: bool = False
+    freshness_min_interval: float = 60.0        # one logical round
+    freshness_max_interval: float = 31536000.0  # 'yearly' (sitemaps.org cap)
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -1292,9 +1297,11 @@ class CrawlEngine:
 
         With ``cfg.use_freshness`` on, re-enqueued rows with >=2 archived
         fetches swap their sitemap priority for the measured staleness
-        probability at t_now (measured_change_rates); eligibility still
-        follows change_freq — freshness reorders the queue, the sitemap
-        metadata decides who is IN it."""
+        probability at t_now (measured_change_rates), and their revisit
+        cadence for the measured one (next_attempt_at = t_now +
+        clamp(1/rate, freshness_min/max_interval)). Eligibility to be
+        re-pended still follows change_freq — the sitemap metadata decides
+        who is IN the queue; measurement decides order and cadence."""
         if any(self._deltas.values()) or self._frontier_updates is not None:
             self.flush()
         t = t_now if t_now is not None else self.round * ROUND_SECONDS
@@ -1313,17 +1320,44 @@ class CrawlEngine:
             measured = self.measured_change_rates(t_now=t)
             if measured is not None:
                 cols = due.columns
+                has_evidence = (
+                    F.col("status") == "pending"
+                ) & F.col("recrawl_priority").isNotNull()
+                # Cho & Garcia-Molina cadence: revisit interval ~ 1/rate
+                # (expected time between changes), clamped to the config
+                # bounds. rate == 0 (never changed yet) gets the max-
+                # interval ceiling explicitly, not a never-recrawl NULL —
+                # change evidence can go stale too.
+                max_i = F.lit(float(self.cfg.freshness_max_interval))
+                m_interval = F.when(
+                    F.col("change_rate") > 0.0,
+                    F.least(
+                        F.greatest(
+                            F.lit(1.0) / F.col("change_rate"),
+                            F.lit(float(self.cfg.freshness_min_interval)),
+                        ),
+                        max_i,
+                    ),
+                ).otherwise(max_i)
                 due = (
                     due.join(
-                        measured.select("url", "recrawl_priority"), "url", "left"
+                        measured.select(
+                            "url", "change_rate", "recrawl_priority"
+                        ),
+                        "url",
+                        "left",
                     )
                     .withColumn(
                         "priority",
                         F.when(
-                            (F.col("status") == "pending")
-                            & F.col("recrawl_priority").isNotNull(),
-                            F.col("recrawl_priority"),
+                            has_evidence, F.col("recrawl_priority")
                         ).otherwise(F.col("priority")),
+                    )
+                    .withColumn(
+                        "next_attempt_at",
+                        F.when(has_evidence, F.lit(t) + m_interval).otherwise(
+                            F.col("next_attempt_at")
+                        ),
                     )
                     .select(*cols)
                 )

@@ -744,3 +744,11 @@ def test_freshness_measured_recrawl_priorities(spark):
     for u, r in rows.items():
         if measured.get(u, {}).get("recrawl_priority") is None:
             assert r["priority"] == sitemap_prio[u], u  # cold-start policy
+    # measured CADENCE: next visit at 1/rate (clamped) for changing urls,
+    # at the max-interval ceiling for never-changed ones — not never
+    lo, hi = eng.cfg.freshness_min_interval, eng.cfg.freshness_max_interval
+    for u in changed:
+        want = t_star + min(max(1.0 / measured[u]["change_rate"], lo), hi)
+        assert rows[u]["next_attempt_at"] == pytest.approx(want), u
+    for u in stable:
+        assert rows[u]["next_attempt_at"] == pytest.approx(t_star + hi), u
