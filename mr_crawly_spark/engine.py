@@ -1354,10 +1354,14 @@ class CrawlEngine:
                         ).otherwise(F.col("priority")),
                     )
                     .withColumn(
+                        # cadence only for rows THIS reschedule flipped
+                        # (retry_count was reset to 0): a still-pending row
+                        # mid-retry keeps its transient-failure backoff
                         "next_attempt_at",
-                        F.when(has_evidence, F.lit(t) + m_interval).otherwise(
-                            F.col("next_attempt_at")
-                        ),
+                        F.when(
+                            has_evidence & (F.col("retry_count") == 0),
+                            F.lit(t) + m_interval,
+                        ).otherwise(F.col("next_attempt_at")),
                     )
                     .select(*cols)
                 )
