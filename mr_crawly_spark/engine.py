@@ -521,8 +521,12 @@ class CrawlEngine:
                 pages.filter(
                     (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
                 )
-                .select("url_hash", "url", "spans")
-                .dropDuplicates(["url_hash", "url"])
+                # a url re-archived across recrawl cycles has several rows;
+                # the cache must re-serve the LATEST version, not an
+                # arbitrary one (max_by round — same single shuffle the old
+                # dropDuplicates paid, but version-deterministic)
+                .groupBy("url_hash", "url")
+                .agg(F.max_by("spans", "round").alias("spans"))
                 .localCheckpoint()
             )
         return self._pages_cache
@@ -1373,7 +1377,17 @@ class CrawlEngine:
         self._frontier_updates = None
         self._updates_count = 0
         self._flushes_since_compact = 0
-        self._recrawl_mode = True   # arm the page-cache read path
+        # arm the page-cache read path — EXCEPT under freshness
+        # measurement: a cache hit re-serves the engine's own archive, so
+        # it can never observe a live-web change; with use_freshness on,
+        # recrawls must actually refetch or every measured rate would be a
+        # fake 0 (the archive always equals itself)
+        self._recrawl_mode = not self.cfg.use_freshness
+        if self.cfg.use_freshness and self.cfg.use_page_cache:
+            log.info(
+                "schedule_recrawl: page-cache read disarmed for this cycle "
+                "(use_freshness measures the live web, not the archive)"
+            )
         self._pages_cache = None    # rebuild as-of this recrawl cycle
         n = self._frontier_view().filter(F.col("status") == "pending").count()
         self.pending_count = n

@@ -752,3 +752,74 @@ def test_freshness_measured_recrawl_priorities(spark):
         assert rows[u]["next_attempt_at"] == pytest.approx(want), u
     for u in stable:
         assert rows[u]["next_attempt_at"] == pytest.approx(t_star + hi), u
+
+
+def _mutated_v2(spark, corpus):
+    """Corpus twin where every text span changed (the 'live web' moved)."""
+    import copy
+
+    c2 = copy.deepcopy(corpus)
+    for d in c2.documents:
+        for s in d["spans"]:
+            if s["kind"] == "text":
+                s["text"] += " v2"
+    docs2, *_ = corpus_to_spark(spark, c2)
+    return docs2
+
+
+# the page cache must re-serve the LATEST archived version of a url that
+# was re-archived across recrawl cycles — not an arbitrary one
+def test_page_cache_serves_latest_version(spark):
+    from mr_crawly_spark.datagen import generate_corpus
+
+    corpus = generate_corpus(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)
+    wh = tempfile.mkdtemp(prefix="crawl_pcl_")
+    eng = _engine(spark, corpus, wh=wh, use_page_cache=False)
+    eng.run()
+    # cycle 2: the web mutates; a REAL refetch archives v2 beside v1
+    eng.fetcher = CorpusFetcher(spark, documents=_mutated_v2(spark, corpus))
+    eng.schedule_recrawl(t_now=-(10**8))
+    eng.run(fresh=False)
+    # cycle 3: cache ON against an EMPTY corpus — any miss would 404, so
+    # everything served is from the archive, and it must be v2
+    eng.cfg.use_page_cache = True
+    eng.fetcher = CorpusFetcher(
+        spark, documents=spark.createDataFrame([], S.DOCUMENTS)
+    )
+    eng.schedule_recrawl(t_now=-(10**8))
+    last_round = eng.round
+    eng.run(fresh=False)
+    served = eng.table("pages").filter(
+        (F.col("round") > last_round) & (F.col("fetch_status") == 200)
+    ).collect()
+    assert served
+    for r in served:
+        texts = [s["text"] for s in r["spans"] if s["kind"] == "text"]
+        assert texts and all(t.endswith(" v2") for t in texts), r["url"]
+
+
+# freshness measurement must observe the LIVE web: with use_freshness on,
+# schedule_recrawl disarms the page-cache read (a cache hit re-serves the
+# archive, which always equals itself — every rate would be a fake 0)
+def test_freshness_disarms_page_cache(spark):
+    from mr_crawly_spark.datagen import ROUND_SECONDS, generate_corpus
+
+    corpus = generate_corpus(n_hosts=3, base_pages=5, hot_factor=2, n_seeds=3)
+    eng = _engine(spark, corpus, use_freshness=True)  # page cache ON (default)
+    eng.run()
+    eng.fetcher = CorpusFetcher(spark, documents=_mutated_v2(spark, corpus))
+    eng.schedule_recrawl(t_now=-(10**8))
+    assert not eng._recrawl_mode  # cache read disarmed for this cycle
+    eng.run(fresh=False)
+    measured = {
+        r["url"]: r.asDict()
+        for r in eng.measured_change_rates(
+            t_now=(eng.round + 10) * ROUND_SECONDS
+        ).collect()
+    }
+    twice = {u: m for u, m in measured.items() if m["n_visits"] >= 2}
+    assert twice  # refetches actually happened...
+    for u, m in twice.items():
+        # ...from the live web: every refetched page observed its change.
+        # With the cache armed these would all be fake 0.0 rates.
+        assert m["change_rate"] > 0.0, u
