@@ -142,6 +142,18 @@ class CrawlConfig:
     use_freshness: bool = False
     freshness_min_interval: float = 60.0        # one logical round
     freshness_max_interval: float = 31536000.0  # 'yearly' (sitemaps.org cap)
+    # opt-in content-addressed archive: recrawl cycles append a pages row
+    # ONLY when the fetched content differs from the url's latest archived
+    # version; every successful visit instead logs a ~100-byte row in the
+    # `visits` table (url, round, fingerprint). The archive then grows
+    # with CHANGE volume, not visit volume — at 100 TB a weekly recrawl of
+    # a mostly-static corpus would otherwise duplicate the whole store
+    # every cycle. measured_change_rates() reads the visits log when this
+    # is on (it preserves the no-change observations the deduped pages
+    # table no longer carries). Set it for the crawl's lifetime: a
+    # mid-life flip leaves the visit history partial. OFF by default —
+    # append-always archival is the reference-parity behavior.
+    archive_dedup: bool = False
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -149,6 +161,15 @@ class CrawlConfig:
     # funneling its final projection through 8 tasks (verdict r2 #2).
     rows_per_write_task: int = 1_000_000
     min_write_partitions: int = 8
+
+
+def _span_fp():
+    """Content fingerprint of a page's ``spans`` column: md5 over the
+    canonically ordered (array_sort) JSON payload, so physical storage
+    order can never alias a content change. Shared by the visits log,
+    the dedup-write filter, and measured_change_rates — all three MUST
+    agree or a changed page could be judged unchanged."""
+    return F.md5(F.to_json(F.array_sort(F.col("spans"))))
 
 
 def _transient_fail_col(url):
@@ -220,10 +241,14 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen: DataFrame | None = None
         self._pages_cache: DataFrame | None = None
+        # latest archived fingerprint per url (content-addressed archive
+        # mode): built by schedule_recrawl, None during the first crawl —
+        # the dedup-write filter is a no-op until something is archived
+        self._archive_fp: DataFrame | None = None
         # armed by schedule_recrawl(): only then can a fetch hit the page
         # cache, so only then does the fetch path pay the cache joins
         self._recrawl_mode = False
-        self._deltas: dict[str, list[DataFrame]] = {"pages": [], "links": [], "seen": []}
+        self._deltas: dict[str, list[DataFrame]] = {"pages": [], "links": [], "seen": [], "visits": []}
         # frames persisted during rounds; released only after flush writes
         # (pages/links deltas stay LAZY until the flush job — zero extra
         # materialization jobs per round)
@@ -392,6 +417,7 @@ class CrawlEngine:
         self.catalog.commit("seen", seen, 0, mode="delta", n_rows=m["n_rows"])
         # schema-bearing empty deltas: pyarrow-direct, no Spark jobs
         self.catalog.commit_pylist("pages", S.PAGES, [], 0, mode="delta")
+        self.catalog.commit_pylist("visits", S.VISITS, [], 0, mode="delta")
         self.catalog.commit_pylist("links", S.LINKS, [], 0, mode="delta")
         self.round = 0
         self.visited_count = 0
@@ -403,8 +429,9 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen = None  # base built lazily (partitioned layout) on use
         self._pages_cache = None
+        self._archive_fp = None
         self._recrawl_mode = False
-        self._deltas = {"pages": [], "links": [], "seen": []}
+        self._deltas = {"pages": [], "links": [], "seen": [], "visits": []}
         self._round_persists = []
         self._write_run_row(end=False)
         self._write_sitemap_index_json()
@@ -435,8 +462,9 @@ class CrawlEngine:
         self._flushes_since_compact = 0
         self._seen = None
         self._pages_cache = None
+        self._archive_fp = None
         self._recrawl_mode = bool(last.get("recrawl_mode"))
-        self._deltas = {"pages": [], "links": [], "seen": []}
+        self._deltas = {"pages": [], "links": [], "seen": [], "visits": []}
         self._round_persists = []
         log.info("resume: round %d, %d visited", self.round, self.visited_count)
         return True
@@ -511,6 +539,11 @@ class CrawlEngine:
         ~11 s/round at the e2e bench)."""
         if not (self.cfg.use_page_cache and self._recrawl_mode):
             return None
+        if self.cfg.use_freshness:
+            # freshness measurement needs LIVE refetches: a cache hit
+            # re-serves the engine's own archive, which always equals
+            # itself — every measured rate would be a fake 0
+            return None
         if self.visited_count == 0:
             return None
         if self._pages_cache is None:
@@ -530,6 +563,30 @@ class CrawlEngine:
                 .localCheckpoint()
             )
         return self._pages_cache
+
+    def _archive_fp_view(self) -> DataFrame | None:
+        """Latest archived fingerprint per url — the dedup-write filter's
+        right side (content-addressed archive mode). Lazy like
+        _pages_cache_view and gated the same way on _recrawl_mode, which
+        is PERSISTED in the round payload, so the filter survives a
+        resume mid-recrawl-cycle (an in-memory-only flag would silently
+        degrade a resumed cycle to append-always). One shuffle,
+        materialized once per cycle, lineage cut."""
+        if not (self.cfg.archive_dedup and self._recrawl_mode):
+            return None
+        if self._archive_fp is None:
+            pages = self.catalog.load("pages", max_round=self.round)
+            if pages is None:
+                return None
+            self._archive_fp = (
+                pages.filter(
+                    (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
+                )
+                .groupBy("url_hash", "url")
+                .agg(F.max_by(_span_fp(), F.col("round")).alias("_arch_fp"))
+                .localCheckpoint()
+            )
+        return self._archive_fp
 
     def _fetch_with_cache(self, gated: DataFrame) -> DataFrame:
         """Fetch stage with the page-cache read join (J2): slice rows whose
@@ -869,9 +926,30 @@ class CrawlEngine:
                 rc["run_id_lit"],
             )
 
-        pages_delta = page_rows(successes, True).unionByName(
-            page_rows(errors404, False)
-        )
+        pages_ok = page_rows(successes, True)
+        if self.cfg.archive_dedup:
+            # every successful visit logs a tiny observation row; the full
+            # content row is appended ONLY when the fingerprint differs
+            # from the url's latest archived version (content-addressed
+            # archive — the store grows with change volume, not visits)
+            self._deltas["visits"].append(
+                successes.select(
+                    "url", "url_hash", round_lit,
+                    _span_fp().alias("fingerprint"), rc["run_id_lit"],
+                )
+            )
+            arch = self._archive_fp_view()
+            if arch is not None:
+                pages_ok = (
+                    pages_ok.withColumn("_fp", _span_fp())
+                    .join(arch, ["url_hash", "url"], "left")
+                    .filter(
+                        F.col("_arch_fp").isNull()
+                        | (F.col("_arch_fp") != F.col("_fp"))
+                    )
+                    .drop("_fp", "_arch_fp")
+                )
+        pages_delta = pages_ok.unionByName(page_rows(errors404, False))
 
         # --- parse + links (A1/A2/F1/D1/A4, S7) ------------------------------
         # persisted: feeds the links sink AND the seen/frontier merge — without
@@ -1154,7 +1232,7 @@ class CrawlEngine:
         # write stays retryable table-by-table.
         import concurrent.futures as _cf
 
-        pending_tables = [t for t in ("seen", "pages", "links") if self._deltas[t]]
+        pending_tables = [t for t in ("seen", "pages", "links", "visits") if self._deltas[t]]
         if len(pending_tables) > 1:
             with _cf.ThreadPoolExecutor(len(pending_tables)) as pool:
                 for fut in [pool.submit(_commit_table, t) for t in pending_tables]:
@@ -1199,6 +1277,7 @@ class CrawlEngine:
         # counts), then release the round frames the lazy deltas referenced
         self._seen = None
         self._pages_cache = None
+        self._archive_fp = None
         for df in self._round_persists:
             df.unpersist()
         self._round_persists = []
@@ -1267,19 +1346,25 @@ class CrawlEngine:
         as refresh_pagerank)."""
         from mr_crawly_spark.operators import freshness as FR
 
-        pages = self.catalog.load("pages", max_round=self.round)
-        if pages is None:
-            return None
         t = t_now if t_now is not None else self.round * ROUND_SECONDS
-        visits = pages.filter(
-            (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
-        ).select(
-            "url",
-            (F.col("round").cast("double") * float(ROUND_SECONDS)).alias(
-                "visit_ts"
-            ),
-            F.md5(F.to_json(F.array_sort(F.col("spans")))).alias("fingerprint"),
+        ts_col = (F.col("round").cast("double") * float(ROUND_SECONDS)).alias(
+            "visit_ts"
         )
+        visits = None
+        if self.cfg.archive_dedup:
+            # content-addressed archive mode: the visits log is the
+            # authoritative history — it keeps the no-change observations
+            # the deduped pages table no longer carries
+            vt = self.catalog.load("visits", max_round=self.round)
+            if vt is not None:
+                visits = vt.select("url", ts_col, "fingerprint")
+        if visits is None:
+            pages = self.catalog.load("pages", max_round=self.round)
+            if pages is None:
+                return None
+            visits = pages.filter(
+                (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
+            ).select("url", ts_col, _span_fp().alias("fingerprint"))
         return FR.recrawl_priorities(
             FR.change_rates(FR.change_stats(visits)), now_ts=t
         )
@@ -1377,18 +1462,16 @@ class CrawlEngine:
         self._frontier_updates = None
         self._updates_count = 0
         self._flushes_since_compact = 0
-        # arm the page-cache read path — EXCEPT under freshness
-        # measurement: a cache hit re-serves the engine's own archive, so
-        # it can never observe a live-web change; with use_freshness on,
-        # recrawls must actually refetch or every measured rate would be a
-        # fake 0 (the archive always equals itself)
-        self._recrawl_mode = not self.cfg.use_freshness
+        # recrawl cycle in progress (persisted + resume-restored): arms
+        # the page-cache read path and the archive-dedup write filter
+        self._recrawl_mode = True
         if self.cfg.use_freshness and self.cfg.use_page_cache:
             log.info(
-                "schedule_recrawl: page-cache read disarmed for this cycle "
+                "schedule_recrawl: page-cache read stays disarmed "
                 "(use_freshness measures the live web, not the archive)"
             )
-        self._pages_cache = None    # rebuild as-of this recrawl cycle
+        self._pages_cache = None
+        self._archive_fp = None    # rebuild lazily as-of this recrawl cycle
         n = self._frontier_view().filter(F.col("status") == "pending").count()
         self.pending_count = n
         self._commit_round(

@@ -87,6 +87,22 @@ PAGES = StructType(
     ]
 )
 
+# --- visits: lightweight per-fetch observation log (content-addressed
+# archive mode, CrawlConfig.archive_dedup): one tiny row per successful
+# visit — (url, when, content fingerprint) — so the pages table can store
+# only DISTINCT content versions while freshness measurement still sees
+# every observation, including the no-change ones. O(visits) rows of
+# ~100 bytes vs O(visits) full span payloads.
+VISITS = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("round", IntegerType()),
+        StructField("fingerprint", StringType()),
+        StructField("run_id", StringType()),
+    ]
+)
+
 # --- links: replaces the SQLite links table (data.py:116-148)
 LINKS = StructType(
     [

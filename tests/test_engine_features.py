@@ -754,12 +754,15 @@ def test_freshness_measured_recrawl_priorities(spark):
         assert rows[u]["next_attempt_at"] == pytest.approx(t_star + hi), u
 
 
-def _mutated_v2(spark, corpus):
-    """Corpus twin where every text span changed (the 'live web' moved)."""
+def _mutated_v2(spark, corpus, urls=None):
+    """Corpus twin where text spans changed (the 'live web' moved) — for
+    every document, or only the given urls."""
     import copy
 
     c2 = copy.deepcopy(corpus)
     for d in c2.documents:
+        if urls is not None and d["doc_id"] not in urls:
+            continue
         for s in d["spans"]:
             if s["kind"] == "text":
                 s["text"] += " v2"
@@ -809,7 +812,7 @@ def test_freshness_disarms_page_cache(spark):
     eng.run()
     eng.fetcher = CorpusFetcher(spark, documents=_mutated_v2(spark, corpus))
     eng.schedule_recrawl(t_now=-(10**8))
-    assert not eng._recrawl_mode  # cache read disarmed for this cycle
+    assert eng._pages_cache_view() is None  # cache read disarmed under freshness
     eng.run(fresh=False)
     measured = {
         r["url"]: r.asDict()
@@ -823,3 +826,89 @@ def test_freshness_disarms_page_cache(spark):
         # ...from the live web: every refetched page observed its change.
         # With the cache armed these would all be fake 0.0 rates.
         assert m["change_rate"] > 0.0, u
+
+
+# content-addressed archive (CrawlConfig.archive_dedup): recrawl cycles
+# append pages rows only for NEW content versions; the visits log records
+# every observation, and freshness measurement reads it — so the archive
+# grows with change volume while measured rates keep their no-change
+# evidence
+def test_archive_dedup_stores_versions_not_visits(spark):
+    from collections import Counter
+
+    from mr_crawly_spark.datagen import ROUND_SECONDS, generate_corpus
+
+    corpus = generate_corpus(n_hosts=7, base_pages=5, hot_factor=2, n_seeds=7)
+    eng = _engine(
+        spark, corpus, use_page_cache=False, archive_dedup=True,
+        use_freshness=True,
+    )
+    eng.run()
+    meta = {
+        r["url"]: r["change_freq"] for r in eng.table("frontier").collect()
+    }
+    fetched1 = {
+        r["url"]
+        for r in eng.table("pages")
+        .filter(F.col("fetch_status") == 200)
+        .select("url")
+        .distinct()
+        .collect()
+    }
+    recrawlable = sorted(u for u in fetched1 if meta.get(u))
+    assert len(recrawlable) >= 4
+    changed, stable = set(recrawlable[::2]), set(recrawlable[1::2])
+
+    eng.fetcher = CorpusFetcher(
+        spark, documents=_mutated_v2(spark, corpus, urls=changed)
+    )
+    eng.schedule_recrawl(t_now=-(10**8))
+    eng.run(fresh=False)
+
+    # the archive stores VERSIONS: 2 rows for changed urls, still 1 for
+    # stable ones (the append-always engine would hold 2 everywhere)
+    pages_n = Counter(
+        r["url"]
+        for r in eng.table("pages")
+        .filter(F.col("fetch_status") == 200)
+        .select("url")
+        .collect()
+    )
+    for u in changed:
+        assert pages_n[u] == 2, u
+    for u in stable:
+        assert pages_n[u] == 1, u
+    # ...and the cache serves the changed urls at v2 (latest version)
+    cached = {
+        r["url"]: r["spans"]
+        for r in eng.table("pages")
+        .groupBy("url")
+        .agg(F.max_by("spans", "round").alias("spans"))
+        .collect()
+        if r["url"] in changed
+    }
+    for u, spans in cached.items():
+        texts = [s["text"] for s in spans if s["kind"] == "text"]
+        assert texts and all(t.endswith(" v2") for t in texts), u
+
+    # the visits log holds EVERY observation: 2 per refetched url
+    visits_n = Counter(
+        r["url"] for r in eng.table("visits").select("url").collect()
+    )
+    for u in changed | stable:
+        assert visits_n[u] == 2, u
+
+    # freshness measurement reads the visits log: the stable urls' 0-rate
+    # evidence survives the deduped pages table (which holds only ONE row
+    # for them — the pages-derived history alone would call them
+    # single-visit NULLs)
+    measured = {
+        r["url"]: r.asDict()
+        for r in eng.measured_change_rates(
+            t_now=(eng.round + 10) * ROUND_SECONDS
+        ).collect()
+    }
+    for u in changed:
+        assert measured[u]["n_visits"] == 2 and measured[u]["change_rate"] > 0.0, u
+    for u in stable:
+        assert measured[u]["n_visits"] == 2 and measured[u]["change_rate"] == 0.0, u
