@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--use-bloom", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--use-cuckoo", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--use-freshness", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="measured recrawl scheduling: schedule_recrawl "
+                        "orders and paces re-fetches by observed change "
+                        "rates instead of sitemap changefreq claims")
+    p.add_argument("--archive-dedup", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="content-addressed archive: recrawls re-store only "
+                        "CHANGED content; every visit logs a tiny row in "
+                        "the visits table")
     p.add_argument("--debug", action="store_true",
                    help="DEBUG logging (reference main.py --debug)")
     p.add_argument("--resume", action="store_true")
@@ -87,6 +97,8 @@ def resolve_config(args: argparse.Namespace) -> CrawlConfig:
         salt_partitions=args.salt_partitions,
         use_bloom=args.use_bloom,
         use_cuckoo=args.use_cuckoo,
+        use_freshness=args.use_freshness,
+        archive_dedup=args.archive_dedup,
         force_reset=args.force_reset or None,
     )
     if args.config:
