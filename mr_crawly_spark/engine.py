@@ -575,6 +575,15 @@ class CrawlEngine:
         if not (self.cfg.archive_dedup and self._recrawl_mode):
             return None
         if self._archive_fp is None:
+            cache = self._pages_cache_view()
+            if cache is not None:
+                # the page cache already materialized latest-spans-per-url
+                # (same max_by(round) agg): derive fingerprints with a
+                # scan over it instead of re-aggregating the pages table
+                self._archive_fp = cache.select(
+                    "url_hash", "url", _span_fp().alias("_arch_fp")
+                )
+                return self._archive_fp
             pages = self.catalog.load("pages", max_round=self.round)
             if pages is None:
                 return None
@@ -932,8 +941,12 @@ class CrawlEngine:
             # content row is appended ONLY when the fingerprint differs
             # from the url's latest archived version (content-addressed
             # archive — the store grows with change volume, not visits)
+            # cache-served rows are NOT live observations — the content
+            # came from the archive, so logging them would flood the visit
+            # history with fingerprints that trivially equal the archive's
+            # and bias every measured change rate toward a fake 0
             self._deltas["visits"].append(
-                successes.select(
+                successes.filter(~F.col("_from_cache")).select(
                     "url", "url_hash", round_lit,
                     _span_fp().alias("fingerprint"), rc["run_id_lit"],
                 )
@@ -1359,6 +1372,15 @@ class CrawlEngine:
             if vt is not None:
                 visits = vt.select("url", ts_col, "fingerprint")
         if visits is None:
+            # pages-table fallback CAVEAT: archived rows don't record
+            # whether the fetch was served from the page cache, and a
+            # cache-served "visit" re-stores content that trivially equals
+            # the archive — a history that includes page-cache recrawl
+            # cycles (use_page_cache on, use_freshness off at the time)
+            # therefore biases rates toward 0. Histories meant for
+            # measurement should be collected with use_freshness on (the
+            # cache read is disarmed) or with archive_dedup's visits log,
+            # which excludes cache-served rows at write time.
             pages = self.catalog.load("pages", max_round=self.round)
             if pages is None:
                 return None
@@ -1404,11 +1426,15 @@ class CrawlEngine:
         frontier = self.catalog.load_merge(
             "frontier", ("url_hash", "url"), max_round=self.round
         )
-        due = recrawl_schedule(frontier, t)
+        due = recrawl_schedule(
+            frontier, t, keep_marker=self.cfg.use_freshness
+        )
         if self.cfg.use_freshness:
             measured = self.measured_change_rates(t_now=t)
-            if measured is not None:
-                cols = due.columns
+            if measured is None:
+                due = due.drop("_flipped")
+            else:
+                cols = [c for c in due.columns if c != "_flipped"]
                 has_evidence = (
                     F.col("status") == "pending"
                 ) & F.col("recrawl_priority").isNotNull()
@@ -1443,12 +1469,17 @@ class CrawlEngine:
                         ).otherwise(F.col("priority")),
                     )
                     .withColumn(
-                        # cadence only for rows THIS reschedule flipped
-                        # (retry_count was reset to 0): a still-pending row
-                        # mid-retry keeps its transient-failure backoff
+                        # cadence ONLY for rows THIS call flipped (the
+                        # _flipped marker): a row still pending from an
+                        # earlier reschedule keeps its next_attempt_at —
+                        # rewriting it to t + interval on every reschedule
+                        # would push a not-yet-due page forever into the
+                        # future (starvation); a row mid-retry likewise
+                        # keeps its transient-failure backoff
                         "next_attempt_at",
                         F.when(
-                            has_evidence & (F.col("retry_count") == 0),
+                            F.col("_flipped")
+                            & F.col("recrawl_priority").isNotNull(),
                             F.lit(t) + m_interval,
                         ).otherwise(F.col("next_attempt_at")),
                     )

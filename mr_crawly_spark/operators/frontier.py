@@ -214,13 +214,21 @@ CHANGE_FREQ_SECONDS = {
 }
 
 
-def recrawl_schedule(frontier: DataFrame, t_now: float) -> DataFrame:
+def recrawl_schedule(
+    frontier: DataFrame, t_now: float, keep_marker: bool = False
+) -> DataFrame:
     """Re-enqueue fetched rows whose change_freq interval has elapsed.
 
     A ``fetched`` row with change_freq becomes ``pending`` again with
     next_attempt_at = t_now + interval; rows without metadata never recrawl
     (matching the reference, which only stores the fields). Pure column
     rewrite — no shuffle, safe at any frontier size.
+
+    ``keep_marker=True`` retains the flip decision as a ``_flipped``
+    boolean column so callers can tell rows THIS call re-enqueued from
+    rows that were already pending (the engine's freshness cadence must
+    only touch the former — rewriting a not-yet-due row's
+    next_attempt_at on every reschedule would postpone it forever).
     """
     freq_s = F.element_at(
         F.create_map(
@@ -238,7 +246,7 @@ def recrawl_schedule(frontier: DataFrame, t_now: float) -> DataFrame:
         & F.col("change_freq").isNotNull()
         & freq_s.isNotNull()
     )
-    return (
+    out = (
         frontier.withColumn("_due", due)
         .withColumn(
             "next_attempt_at",
@@ -254,8 +262,9 @@ def recrawl_schedule(frontier: DataFrame, t_now: float) -> DataFrame:
             "retry_count",
             F.when(F.col("_due"), F.lit(0)).otherwise(F.col("retry_count")),
         )
-        .drop("_due")
+        .withColumnRenamed("_due", "_flipped")
     )
+    return out if keep_marker else out.drop("_flipped")
 
 
 def apply_updates(frontier: DataFrame, updates: DataFrame) -> DataFrame:

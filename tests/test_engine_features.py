@@ -752,6 +752,22 @@ def test_freshness_measured_recrawl_priorities(spark):
         assert rows[u]["next_attempt_at"] == pytest.approx(want), u
     for u in stable:
         assert rows[u]["next_attempt_at"] == pytest.approx(t_star + hi), u
+    # starvation regression: a SECOND reschedule before the rows come due
+    # must NOT push their next_attempt_at further out — the cadence only
+    # applies to rows a reschedule itself flips, and these are still
+    # pending from the previous one (rewriting them every reschedule
+    # would postpone a not-yet-due page forever)
+    eng.schedule_recrawl(t_now=t_star + 1000.0)
+    rows2 = {
+        r["url"]: r
+        for r in eng._frontier_view()
+        .filter(F.col("status") == "pending")
+        .collect()
+    }
+    for u in changed | stable:
+        assert (
+            rows2[u]["next_attempt_at"] == rows[u]["next_attempt_at"]
+        ), u
 
 
 def _mutated_v2(spark, corpus, urls=None):
@@ -912,3 +928,23 @@ def test_archive_dedup_stores_versions_not_visits(spark):
         assert measured[u]["n_visits"] == 2 and measured[u]["change_rate"] > 0.0, u
     for u in stable:
         assert measured[u]["n_visits"] == 2 and measured[u]["change_rate"] == 0.0, u
+
+
+# a cache-served recrawl is NOT a live observation: the visits log must
+# exclude it (its fingerprint trivially equals the archive's — logging it
+# would bias every measured change rate toward a fake 0), and the dedup
+# filter must skip re-archiving it
+def test_visits_log_excludes_cache_hits(spark, tiny_corpus):
+    eng = _engine(spark, tiny_corpus, archive_dedup=True)  # page cache ON
+    eng.run()
+    v1 = eng.table("visits").count()
+    p1 = eng.table("pages").filter(F.col("fetch_status") == 200).count()
+    visited1 = eng.visited_count
+    eng.schedule_recrawl(t_now=-(10**8))
+    eng.run(fresh=False)
+    assert eng.visited_count > visited1  # recrawls actually happened...
+    # ...all served from the cache: no live observation, no new version
+    assert eng.table("visits").count() == v1
+    assert (
+        eng.table("pages").filter(F.col("fetch_status") == 200).count() == p1
+    )
