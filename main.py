@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="content-addressed archive: recrawls re-store only "
                         "CHANGED content; every visit logs a tiny row in "
                         "the visits table")
+    p.add_argument("--adaptive-politeness", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="AIMD per-host throttling off observed transient-"
+                        "failure rates: a failing host's budget halves, "
+                        "healthy rounds recover it (never starved below 1)")
     p.add_argument("--debug", action="store_true",
                    help="DEBUG logging (reference main.py --debug)")
     p.add_argument("--resume", action="store_true")
@@ -99,6 +104,7 @@ def resolve_config(args: argparse.Namespace) -> CrawlConfig:
         use_cuckoo=args.use_cuckoo,
         use_freshness=args.use_freshness,
         archive_dedup=args.archive_dedup,
+        use_adaptive_politeness=args.adaptive_politeness,
         force_reset=args.force_reset or None,
     )
     if args.config:

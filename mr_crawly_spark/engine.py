@@ -50,9 +50,11 @@ from mr_crawly_spark.operators.frontier import (
 )
 from mr_crawly_spark.operators.parse import extract_outlinks
 from mr_crawly_spark.operators.politeness import (
+    apply_throttle,
     default_k_host,
     host_budgets,
     robots_gate,
+    update_throttle,
 )
 from mr_crawly_spark.operators.sitemap import bootstrap_frontier_urls, expand_sitemaps
 from mr_crawly_spark.plans.catalog import SnapshotCatalog
@@ -154,6 +156,19 @@ class CrawlConfig:
     # mid-life flip leaves the visit history partial. OFF by default —
     # append-always archival is the reference-parity behavior.
     archive_dedup: bool = False
+    # opt-in adaptive per-host throttling (beyond the reference, whose
+    # politeness is static robots Crawl-delay): AIMD on each host's
+    # observed transient-failure rate — a round where a host's 5xx rate
+    # exceeds the threshold halves its next-round budget (floored, never
+    # starved to 0); healthy rounds recover it additively toward 1.0.
+    # State is ephemeral (resets on resume — it re-learns within a few
+    # rounds) and holds only currently-throttled hosts. OFF by default —
+    # golden oracle-lockstep budgets are unchanged unless an operator
+    # opts in (same contract as the other opt-in gates).
+    use_adaptive_politeness: bool = False
+    throttle_fail_threshold: float = 0.3
+    throttle_decrease: float = 0.5
+    throttle_increase: float = 0.25
     # width of the round's materializing checkpoint and the flush deltas:
     # max(min_write_partitions, ceil(rows / rows_per_write_task)). At
     # sandbox scale this floors at min_write_partitions (bounded file
@@ -231,6 +246,9 @@ class CrawlEngine:
         # (host, param, ...) stats from the last refresh_trap_stats();
         # None until mined — the trap gate stays inert until then
         self._trap_stats: DataFrame | None = None
+        # adaptive-politeness state (host, mult) — only currently-throttled
+        # hosts; ephemeral by design (resume re-learns in a few rounds)
+        self._throttle: DataFrame | None = None
         # in-memory state between parquet snapshots. The frontier is held
         # merge-on-read: an immutable base (last snapshot) + a small
         # localCheckpoint'ed last-writer-wins update set — a round never
@@ -430,6 +448,7 @@ class CrawlEngine:
         self._seen = None  # base built lazily (partitioned layout) on use
         self._pages_cache = None
         self._archive_fp = None
+        self._throttle = None
         self._recrawl_mode = False
         self._deltas = {"pages": [], "links": [], "seen": [], "visits": []}
         self._round_persists = []
@@ -463,6 +482,7 @@ class CrawlEngine:
         self._seen = None
         self._pages_cache = None
         self._archive_fp = None
+        self._throttle = None
         self._recrawl_mode = bool(last.get("recrawl_mode"))
         self._deltas = {"pages": [], "links": [], "seen": [], "visits": []}
         self._round_persists = []
@@ -845,8 +865,16 @@ class CrawlEngine:
         frontier = self._frontier_view()
         seen = self._seen_base()
 
+        budgets = self.budgets
+        if self.cfg.use_adaptive_politeness and self._throttle is not None:
+            # AIMD budgets: scale each throttled host's k by its current
+            # multiplier (politeness.apply_throttle; full join so hosts
+            # without robots rows are throttled off default_k too)
+            budgets = apply_throttle(
+                self.budgets, self._throttle, self._default_k
+            )
         sliced = select_slice(
-            frontier, self.budgets, t,
+            frontier, budgets, t,
             salt_partitions=self.cfg.salt_partitions, salt=self.cfg.salt,
             # host_budgets clamps every k_host to this, so the literal cap is
             # lossless — and it unlocks the map-side WindowGroupLimit
@@ -1153,6 +1181,22 @@ class CrawlEngine:
             self.pending_count += n_new + cnt["retry_back"] - n_processed
         self.round = r
         self._last_metrics = metrics
+        if self.cfg.use_adaptive_politeness:
+            # fold this round's per-host outcome counts into the AIMD
+            # state — one map-side-combined agg over the already-persisted
+            # round frame, bounded by the slice, never the frontier
+            outcomes = processed.groupBy("host").agg(
+                F.count(F.lit(1)).alias("n_processed"),
+                F.sum((F.col("_outcome") == "retry").cast("int")).alias(
+                    "n_transient"
+                ),
+            )
+            self._throttle = update_throttle(
+                self._throttle, outcomes,
+                fail_threshold=self.cfg.throttle_fail_threshold,
+                decrease=self.cfg.throttle_decrease,
+                increase=self.cfg.throttle_increase,
+            ).localCheckpoint()
         log.info(
             "round %d: slice=%d ok=%d denied=%d 404=%d retry=%d new=%d "
             "visited=%d pending=%s",

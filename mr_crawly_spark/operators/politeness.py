@@ -203,3 +203,93 @@ def default_k_host(delay: float = DEFAULT_CRAWL_DELAY) -> int:
 
 
 DEFAULT_K_HOST = default_k_host(DEFAULT_CRAWL_DELAY)
+
+
+# --------------------------------------------------------------------- #
+# Adaptive per-host throttling (beyond the reference, whose politeness is
+# static robots Crawl-delay only): AIMD on the observed transient-failure
+# rate, the congestion-control shape production crawlers converge on
+# (IRLbot WWW'08 adapts per-host budgets from observed behavior; TCP's
+# multiplicative-decrease/additive-increase gives fast backoff off a
+# struggling host and slow, probing recovery). A host answering 5xx is
+# ASKING for less load — robots metadata can't say that mid-crawl.
+
+THROTTLE_FLOOR = 1.0 / 16.0
+
+
+def update_throttle(
+    throttle: DataFrame | None,
+    round_outcomes: DataFrame,
+    fail_threshold: float = 0.3,
+    decrease: float = 0.5,
+    increase: float = 0.25,
+) -> DataFrame:
+    """Fold one round's per-host outcome counts into the throttle state.
+
+    ``round_outcomes``: (host, n_processed, n_transient) for THIS round —
+    a map-side-combined agg bounded by the round's slice, never the
+    frontier. ``throttle``: (host, mult) from the previous round or None.
+
+    A host whose transient rate exceeded ``fail_threshold`` halves its
+    multiplier (floored at THROTTLE_FLOOR); a host observed healthy this
+    round recovers by ``increase`` toward 1.0. Hosts with no observation
+    this round keep their multiplier — no evidence, no change. Rows that
+    recover to 1.0 are DROPPED, so the state holds only currently-
+    throttled hosts: its size tracks misbehaving hosts, not the 10^7-host
+    universe, and the per-round budgets join stays broadcastable."""
+    rate = F.col("n_transient") / F.greatest(F.col("n_processed"), F.lit(1))
+    obs = round_outcomes.select(
+        "host", (rate > F.lit(float(fail_threshold))).alias("_failing")
+    )
+    base = (
+        throttle
+        if throttle is not None
+        else obs.sparkSession.createDataFrame(
+            [], "host string, mult double"
+        )
+    )
+    merged = base.join(obs, "host", "full")
+    new_mult = (
+        F.when(
+            F.col("_failing"),
+            F.greatest(
+                F.lit(THROTTLE_FLOOR),
+                F.coalesce(F.col("mult"), F.lit(1.0)) * F.lit(float(decrease)),
+            ),
+        )
+        .when(
+            F.col("_failing") == F.lit(False),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("mult"), F.lit(1.0)) + F.lit(float(increase)),
+            ),
+        )
+        # no observation this round: keep the multiplier as-is
+        .otherwise(F.col("mult"))
+    )
+    return (
+        merged.select("host", new_mult.alias("mult"))
+        .filter(F.col("mult") < 1.0)
+    )
+
+
+def apply_throttle(
+    budgets: DataFrame, throttle: DataFrame, default_k: int
+) -> DataFrame:
+    """Effective per-round budgets = host_budgets scaled by the throttle.
+
+    Full join: a throttled host with no robots rows (it would normally
+    take ``default_k`` via select_slice's coalesce) gets an explicit
+    scaled row here, so the throttle binds for it too. Budget floors at 1
+    — a throttled host slows to a crawl, it is never starved outright
+    (the multiplicative floor bounds the backoff; full exclusion is a
+    robots/error-status decision, not a congestion one)."""
+    j = budgets.join(throttle, "host", "full")
+    eff = F.greatest(
+        F.lit(1),
+        F.floor(
+            F.coalesce(F.col("k_host"), F.lit(int(default_k))).cast("double")
+            * F.coalesce(F.col("mult"), F.lit(1.0))
+        ).cast("int"),
+    )
+    return j.select("host", eff.alias("k_host"))

@@ -948,3 +948,55 @@ def test_visits_log_excludes_cache_hits(spark, tiny_corpus):
     assert (
         eng.table("pages").filter(F.col("fetch_status") == 200).count() == p1
     )
+
+
+# adaptive per-host politeness (CrawlConfig.use_adaptive_politeness):
+# AIMD throttling off observed transient-failure rates — the throttle
+# learns exactly the hosts that failed, scales their budgets down, never
+# starves them to zero, and a never-triggering threshold leaves the
+# golden crawl bit-identical
+def test_adaptive_politeness_engine(spark, tiny_corpus, crawled):
+    from mr_crawly_spark.operators.politeness import apply_throttle
+
+    baseline, _ = crawled  # default crawl, flag off
+    # (a) flag ON but threshold above any possible rate: crawl identical
+    eng_eq = _engine(
+        spark, tiny_corpus, use_adaptive_politeness=True,
+        throttle_fail_threshold=1.1,
+    )
+    eng_eq.run()
+    assert eng_eq.visited_count == baseline.visited_count
+    assert {r["url"] for r in eng_eq.table("seen").collect()} == {
+        r["url"] for r in baseline.table("seen").collect()
+    }
+    assert eng_eq._throttle is None or eng_eq._throttle.count() == 0
+
+    # (b) hair-trigger threshold, no recovery: the final throttle state is
+    # exactly the hosts that ever saw a transient failure
+    eng = _engine(
+        spark, tiny_corpus, use_adaptive_politeness=True,
+        throttle_fail_threshold=0.0, throttle_increase=0.0,
+    )
+    eng.run()
+    assert eng.visited_count == baseline.visited_count  # budget floor = 1:
+    # throttling slows hosts down, it never loses pages
+    throttled = {r["host"]: r["mult"] for r in eng._throttle.collect()}
+    failed_hosts = {
+        r["host"]
+        for r in eng.table("frontier")
+        .filter(F.col("retry_count") > 0)
+        .collect()
+    }
+    assert set(throttled) == failed_hosts and failed_hosts  # non-vacuous
+    assert all(0 < m < 1.0 for m in throttled.values())
+    # the budgets actually shrink for throttled hosts (floored at 1)
+    base_k = {r["host"]: r["k_host"] for r in eng.budgets.collect()}
+    eff_k = {
+        r["host"]: r["k_host"]
+        for r in apply_throttle(
+            eng.budgets, eng._throttle, eng._default_k
+        ).collect()
+    }
+    for h, m in throttled.items():
+        want = max(1, int(base_k.get(h, eng._default_k) * m))
+        assert eff_k[h] == want, h

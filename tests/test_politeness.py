@@ -184,3 +184,64 @@ def test_host_budgets_default_delay_for_null_crawl_delay(spark):
     assert default_k_host(30.0) == 2
     assert default_k_host(2.0) == 8   # MAX_PER_HOST_PER_ROUND cap
     assert default_k_host(10.0) == 6  # the documented default
+
+
+# ------------------------------------------------------------------ #
+# adaptive per-host throttling (beyond-ref; AIMD on observed transient
+# rate, politeness.update_throttle/apply_throttle)
+class TestAdaptiveThrottle:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, n_processed long, n_transient long"
+        )
+
+    def test_aimd_dynamics(self, spark):
+        from mr_crawly_spark.operators.politeness import (
+            THROTTLE_FLOOR,
+            update_throttle,
+        )
+
+        # round 1: h1 failing (60% > 30%), h2 healthy
+        t1 = update_throttle(
+            None, self._obs(spark, [("h1", 10, 6), ("h2", 10, 0)])
+        )
+        m = {r["host"]: r["mult"] for r in t1.collect()}
+        assert m == {"h1": 0.5}  # h2 at 1.0 is pruned from the state
+        # round 2: h1 still failing -> halves again; h3 appears failing
+        t2 = update_throttle(
+            t1, self._obs(spark, [("h1", 5, 5), ("h3", 4, 2)])
+        )
+        m = {r["host"]: r["mult"] for r in t2.collect()}
+        assert m["h1"] == 0.25 and m["h3"] == 0.5
+        # round 3: h1 healthy -> additive recovery; h3 unobserved -> kept
+        t3 = update_throttle(t2, self._obs(spark, [("h1", 8, 0)]))
+        m = {r["host"]: r["mult"] for r in t3.collect()}
+        assert m["h1"] == 0.5 and m["h3"] == 0.5
+        # two more healthy rounds: h1 recovers to 1.0 and is pruned
+        t4 = update_throttle(t3, self._obs(spark, [("h1", 8, 0)]))
+        t5 = update_throttle(t4, self._obs(spark, [("h1", 8, 0)]))
+        m = {r["host"]: r["mult"] for r in t5.collect()}
+        assert "h1" not in m and m["h3"] == 0.5
+        # the floor binds under sustained failure
+        t = None
+        for _ in range(8):
+            t = update_throttle(t, self._obs(spark, [("h9", 4, 4)]))
+        m = {r["host"]: r["mult"] for r in t.collect()}
+        assert m["h9"] == THROTTLE_FLOOR
+
+    def test_apply_throttle_budgets(self, spark):
+        from mr_crawly_spark.operators.politeness import apply_throttle
+
+        budgets = spark.createDataFrame(
+            [("h1", 8), ("h2", 8)], "host string, k_host int"
+        )
+        throttle = spark.createDataFrame(
+            [("h1", 0.5), ("h_norules", 0.25)], "host string, mult double"
+        )
+        eff = {
+            r["host"]: r["k_host"]
+            for r in apply_throttle(budgets, throttle, default_k=6).collect()
+        }
+        assert eff["h1"] == 4       # scaled
+        assert eff["h2"] == 8       # untouched
+        assert eff["h_norules"] == 1  # floor(6 * 0.25) = 1 — never 0
