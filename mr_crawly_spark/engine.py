@@ -178,6 +178,23 @@ class CrawlConfig:
     min_write_partitions: int = 8
 
 
+def _throttle_outcomes(processed: DataFrame) -> DataFrame:
+    """Per-host (n_processed, n_transient) over LIVE requests only, for
+    the adaptive-politeness fold: robots-denied rows never reached the
+    host and page-cache hits never left the archive — counting either as
+    a healthy observation dilutes the transient-failure rate (a host
+    whose every live request 5xx'd could look healthy behind a wall of
+    denied/cached rows) and would let a throttled host 'recover' without
+    a single live probe. Map-side-combined, bounded by the slice."""
+    live = processed.filter(
+        (F.col("_outcome") != "robots_denied") & ~F.col("_from_cache")
+    )
+    return live.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_processed"),
+        F.sum((F.col("_outcome") == "retry").cast("int")).alias("n_transient"),
+    )
+
+
 def _span_fp():
     """Content fingerprint of a page's ``spans`` column: md5 over the
     canonically ordered (array_sort) JSON payload, so physical storage
@@ -1182,21 +1199,18 @@ class CrawlEngine:
         self.round = r
         self._last_metrics = metrics
         if self.cfg.use_adaptive_politeness:
-            # fold this round's per-host outcome counts into the AIMD
-            # state — one map-side-combined agg over the already-persisted
-            # round frame, bounded by the slice, never the frontier
-            outcomes = processed.groupBy("host").agg(
-                F.count(F.lit(1)).alias("n_processed"),
-                F.sum((F.col("_outcome") == "retry").cast("int")).alias(
-                    "n_transient"
-                ),
-            )
-            self._throttle = update_throttle(
-                self._throttle, outcomes,
+            # fold this round's per-host LIVE-request outcome counts into
+            # the AIMD state — one map-side-combined agg over the already-
+            # persisted round frame, bounded by the slice, never the
+            # frontier. An empty state resets to None so a healthy crawl
+            # pays zero extra plan cost (the slice joins budgets directly).
+            t_new = update_throttle(
+                self._throttle, _throttle_outcomes(processed),
                 fail_threshold=self.cfg.throttle_fail_threshold,
                 decrease=self.cfg.throttle_decrease,
                 increase=self.cfg.throttle_increase,
             ).localCheckpoint()
+            self._throttle = t_new if t_new.count() > 0 else None
         log.info(
             "round %d: slice=%d ok=%d denied=%d 404=%d retry=%d new=%d "
             "visited=%d pending=%s",

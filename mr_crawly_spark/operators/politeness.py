@@ -283,8 +283,14 @@ def apply_throttle(
     scaled row here, so the throttle binds for it too. Budget floors at 1
     — a throttled host slows to a crawl, it is never starved outright
     (the multiplicative floor bounds the backoff; full exclusion is a
-    robots/error-status decision, not a congestion one)."""
-    j = budgets.join(throttle, "host", "full")
+    robots/error-status decision, not a congestion one).
+
+    Shape note: NOT a full outer join — Spark cannot execute full outer
+    as a broadcast join, so it would shuffle the whole budgets frame
+    (one row per ruled host) every round just to fold in the tiny
+    throttle state. Left join + anti-join union below keeps both legs
+    broadcast-eligible: the throttle side is small by construction
+    (throttled hosts only) and AQE converts at runtime."""
     eff = F.greatest(
         F.lit(1),
         F.floor(
@@ -292,4 +298,16 @@ def apply_throttle(
             * F.coalesce(F.col("mult"), F.lit(1.0))
         ).cast("int"),
     )
-    return j.select("host", eff.alias("k_host"))
+    scaled = (
+        budgets.join(throttle, "host", "left")
+        .select("host", eff.alias("k_host"))
+    )
+    eff_extra = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(float(default_k)) * F.col("mult")).cast("int"),
+    )
+    extra = (
+        throttle.join(budgets.select("host"), "host", "left_anti")
+        .select("host", eff_extra.alias("k_host"))
+    )
+    return scaled.unionByName(extra)

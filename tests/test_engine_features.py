@@ -969,7 +969,7 @@ def test_adaptive_politeness_engine(spark, tiny_corpus, crawled):
     assert {r["url"] for r in eng_eq.table("seen").collect()} == {
         r["url"] for r in baseline.table("seen").collect()
     }
-    assert eng_eq._throttle is None or eng_eq._throttle.count() == 0
+    assert eng_eq._throttle is None  # empty state resets: zero plan cost
 
     # (b) hair-trigger threshold, no recovery: the final throttle state is
     # exactly the hosts that ever saw a transient failure

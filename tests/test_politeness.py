@@ -245,3 +245,45 @@ class TestAdaptiveThrottle:
         assert eff["h1"] == 4       # scaled
         assert eff["h2"] == 8       # untouched
         assert eff["h_norules"] == 1  # floor(6 * 0.25) = 1 — never 0
+
+    def test_outcome_agg_counts_live_requests_only(self, spark):
+        from mr_crawly_spark.engine import _throttle_outcomes
+
+        rows = [
+            # h1: 6 denied + 2 live that both 5xx'd — the live failure
+            # rate is 100%, and denied rows must not dilute it to 25%
+            *[("h1", "robots_denied", False)] * 6,
+            ("h1", "retry", False),
+            ("h1", "retry", False),
+            # h2: all cache hits — zero live observations, no row at all
+            *[("h2", "success", True)] * 4,
+            # h3: one live success
+            ("h3", "success", False),
+        ]
+        df = spark.createDataFrame(
+            rows, "host string, _outcome string, _from_cache boolean"
+        )
+        got = {
+            r["host"]: (r["n_processed"], r["n_transient"])
+            for r in _throttle_outcomes(df).collect()
+        }
+        assert got == {"h1": (2, 2), "h3": (1, 0)}
+
+    def test_apply_throttle_plan_has_no_full_outer(self, spark):
+        from mr_crawly_spark.operators.politeness import apply_throttle
+
+        budgets = spark.createDataFrame(
+            [("h1", 8)], "host string, k_host int"
+        )
+        throttle = spark.createDataFrame(
+            [("h1", 0.5)], "host string, mult double"
+        )
+        plan = (
+            apply_throttle(budgets, throttle, default_k=6)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # full outer can't broadcast — it would shuffle the whole budgets
+        # frame (one row per ruled host) every round
+        assert "FullOuter" not in plan, plan
