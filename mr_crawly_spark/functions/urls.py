@@ -47,23 +47,171 @@ def _normalize_percent(s: str) -> str:
     return _PCT_RE.sub(repl, s)
 
 
+# Fast-path character gate: printable ASCII minus space, ';' (urlparse
+# params semantics), '[', '\\', ']' (IPv6 / oddball netlocs). Anything
+# outside falls back to the urllib-exact slow path, so the fast resolver
+# never has to model WHATWG control-char stripping, params splitting or
+# bracketed-host validation.
+_FAST_SAFE = re.compile(r"[!-:<-Z^-~]*\Z")
+
+
 def canonicalize_url(base: str | None, href: str | None) -> str | None:
     """RFC-3986 canonical form of ``href`` resolved against ``base``.
 
     Returns None for empty/unsupported (non-http[s]) results — callers filter
     nulls, matching the reference's href-present filter (parser.py:48).
 
-    Hot path of the whole engine (~10^10 calls at crawl scale), so common
-    cases skip work: absolute http(s) hrefs skip urljoin; netlocs without
-    userinfo/port skip the validating hostname/port properties; strings
-    without '%' skip percent-renormalization. Golden pairs in
-    tests/test_urls.py pin equivalence with the straightforward form.
+    Hot path of the whole engine (~10^10 calls at crawl scale): a
+    hand-rolled resolver (replicating CPython urllib.parse.urljoin /
+    urlsplit bit-for-bit for the shapes it accepts — see
+    tests/test_urls_property.py differential suite) handles the common
+    clean-ASCII case at ~4x the urllib path's speed; anything unusual
+    (userinfo/ports/IPv6 netlocs, params ';', control chars, non-http
+    schemes, uppercase schemes, query/fragment-bearing bases) falls back
+    to :func:`_canonicalize_url_urllib`, the original urllib-built form.
+    Golden pairs in tests/test_urls.py pin the behavior of both paths.
     """
     if href is None:
         return None
     href = href.strip()
     if not href:
         return None
+    out = _canonicalize_fast(base, href)
+    if out is not _FALLBACK:
+        return out
+    return _canonicalize_url_urllib(base, href)
+
+
+_FALLBACK = object()
+
+
+def _canonicalize_fast(base: str | None, href: str):
+    """Canonicalize the easy shapes without urllib; ``_FALLBACK`` when the
+    inputs need the full urllib semantics. Exactness contract: for every
+    input it does NOT return ``_FALLBACK`` on, the result equals
+    ``_canonicalize_url_urllib(base, href)``."""
+    if not _FAST_SAFE.fullmatch(href):
+        return _FALLBACK
+    if href.startswith("https://"):
+        scheme, rest = "https", href[8:]
+    elif href.startswith("http://"):
+        scheme, rest = "http", href[7:]
+    else:
+        # ---- relative reference: resolve against a clean base ----------
+        if not base:
+            return _FALLBACK  # absolute-only path with no base
+        if href.startswith("//"):
+            return _FALLBACK  # network-path reference
+        if base.startswith("https://"):
+            scheme, brest = "https", base[8:]
+        elif base.startswith("http://"):
+            scheme, brest = "http", base[7:]
+        else:
+            return _FALLBACK
+        if not _FAST_SAFE.fullmatch(base):
+            return _FALLBACK
+        i = brest.find("/")
+        if i <= 0:
+            return _FALLBACK  # base without a path (or empty netloc)
+        netloc = brest[:i]
+        bpath = brest[i:]
+        if "@" in netloc or ":" in netloc:
+            return _FALLBACK  # userinfo/port: urlsplit property semantics
+        if "?" in bpath or "#" in bpath:
+            return _FALLBACK  # base query/fragment participate in urljoin
+        h = href
+        j = h.find("#")
+        if j >= 0:
+            h = h[:j]  # canonical output drops the fragment anyway
+        q = h.find("?")
+        if q >= 0:
+            hpath, query = h[:q], h[q + 1 :]
+        else:
+            hpath, query = h, ""
+        k = hpath.find(":")
+        if k >= 0 and (k < hpath.find("/") or "/" not in hpath):
+            return _FALLBACK  # scheme-shaped prefix ("mailto:", "p:x")
+        if not hpath:
+            # query-only / fragment-only href: urljoin keeps base path
+            # verbatim (no dot resolution on this branch)
+            path = bpath
+        else:
+            # CPython urllib.parse.urljoin, verbatim semantics
+            if hpath.startswith("/"):
+                segments = hpath.split("/")
+            else:
+                base_parts = bpath.split("/")
+                if base_parts[-1] != "":
+                    del base_parts[-1]
+                segments = base_parts + hpath.split("/")
+                segments[1:-1] = [s for s in segments[1:-1] if s]
+            resolved: list[str] = []
+            for seg in segments:
+                if seg == "..":
+                    if resolved:
+                        resolved.pop()
+                elif seg == ".":
+                    continue
+                else:
+                    resolved.append(seg)
+            if segments[-1] in (".", ".."):
+                resolved.append("")
+            path = "/".join(resolved) or "/"
+        if "%" in path:
+            path = _normalize_percent(path)
+        if "%" in query:
+            query = _normalize_percent(query)
+        if not path.startswith("/"):
+            path = "/" + path  # urlunsplit prepends when netloc is set
+        out = scheme + "://" + netloc.lower() + path
+        return out + "?" + query if query else out
+
+    # ---- absolute http(s) href: parse without urlsplit ------------------
+    nl_end = len(rest)
+    for ch in "/?#":
+        p = rest.find(ch)
+        if 0 <= p < nl_end:
+            nl_end = p
+    netloc = rest[:nl_end]
+    if not netloc or "@" in netloc:
+        return _FALLBACK
+    ci = netloc.find(":")
+    if ci >= 0:
+        # explicit port: replicate urlsplit's .port validation + the
+        # default-port strip (int() collapses leading zeros exactly like
+        # the slow path's str(parts.port))
+        host, port_str = netloc[:ci], netloc[ci + 1 :]
+        if not host or not port_str.isdigit():
+            return _FALLBACK  # empty/odd ports, second ':' (isdigit False)
+        port = int(port_str)
+        if port > 65535:
+            return _FALLBACK  # slow path raises -> None
+        host = host.lower()
+        default = "443" if scheme == "https" else "80"
+        netloc = host if str(port) == default else f"{host}:{port}"
+    else:
+        netloc = netloc.lower()
+    tail = rest[nl_end:]
+    j = tail.find("#")
+    if j >= 0:
+        tail = tail[:j]
+    q = tail.find("?")
+    if q >= 0:
+        path, query = tail[:q], tail[q + 1 :]
+    else:
+        path, query = tail, ""
+    if "%" in path:
+        path = _normalize_percent(path)
+    if "%" in query:
+        query = _normalize_percent(query)
+    out = scheme + "://" + netloc.lower() + (path or "/")
+    return out + "?" + query if query else out
+
+
+def _canonicalize_url_urllib(base: str | None, href: str) -> str | None:
+    """The original urllib-built canonicalizer (slow path + semantics
+    reference for the differential tests). ``href`` is already stripped
+    and non-empty."""
     if href.startswith(("http://", "https://")) or not base:
         absolute = href
     else:
@@ -109,7 +257,7 @@ def canonicalize_pairs(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
-def canonicalize_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+def _canonicalize_udf_det(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     """Arrow-batched scalar pandas UDF: (base, href) -> canonical url or null.
 
     Replaces the per-row ``urljoin`` at parser.py:51. String work must run in
@@ -117,6 +265,19 @@ def canonicalize_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     transfer columnar — ~10-100x over row-at-a-time UDFs.
     """
     return canonicalize_pairs(bases, hrefs)
+
+
+# Exported as NON-DETERMINISTIC (it is pure — this is an optimizer fence,
+# not a semantics change): every consumer filters the UDF's output
+# (isNotNull, same-domain), and Catalyst pushes such filters BELOW the
+# projection by re-evaluating the UDF inside the filter — the measured
+# plans carried 4 ArrowEvalPython nodes on the frontier candidate path and
+# 6 on extract_outlinks, i.e. the whole corpus crossed the Python boundary
+# up to 6x per crawl round. asNondeterministic() forbids the duplication
+# (one ArrowEvalPython per plan); the blocked
+# filter-pushdown-past-the-UDF is worthless here anyway (the filters all
+# depend on the UDF's own output).
+canonicalize_udf = _canonicalize_udf_det.asNondeterministic()
 
 
 def url_hash_col(url: Column) -> Column:

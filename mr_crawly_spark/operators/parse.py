@@ -39,7 +39,17 @@ def _outlink_cols() -> dict:
         "canon": canonicalize_udf(F.col("source_url"), F.col("href")),
         "canon_ok": F.col("linked_url").isNotNull(),
         "same_domain": url_host_col(F.col("linked_url")) == F.col("host"),
-        "self_link": [F.col("source_url"), F.col("source_url").alias("linked_url")],
+        # A4 fan-out: each (source, linked) row emits itself AND the
+        # (source, source) self-link candidate via one explode — the
+        # obvious unionByName(same_domain.select(...)) executes the whole
+        # subtree (spans explode + canonicalize UDF) once PER BRANCH, so
+        # every page's links crossed the Python boundary twice per round
+        "self_fanout": [
+            F.col("source_url"),
+            F.explode(
+                F.array(F.col("linked_url"), F.col("source_url"))
+            ).alias("linked_url"),
+        ],
     }
 
 
@@ -59,7 +69,7 @@ def extract_outlinks(fetched: DataFrame) -> DataFrame:
     # final dedup absorb them in the SAME shuffle — one exchange for dedup
     # + self-links instead of the naive dedup -> distinct -> union -> dedup
     # chain (3 extra exchanges per round in the crawl hot loop).
-    with_self = same_domain.unionByName(same_domain.select(*c["self_link"]))
+    with_self = same_domain.select(*c["self_fanout"])
     return with_self.dropDuplicates(["source_url", "linked_url"])
 
 

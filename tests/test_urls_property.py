@@ -72,3 +72,60 @@ def test_empty_and_none_href(base):
     assert canonicalize_url(base, "") is None
     assert canonicalize_url(base, None) is None
     assert canonicalize_url(base, "   ") is None
+
+
+# --------------------------------------------------------------------------
+# r06: differential equivalence of the hand-rolled fast canonicalizer vs the
+# urllib-built reference path. The fast path's contract is bit-for-bit
+# equality on every input it accepts (falling back on the rest), so the
+# property IS the correctness proof for the optimization.
+
+from mr_crawly_spark.functions.urls import (  # noqa: E402
+    _FALLBACK,
+    _canonicalize_fast,
+    _canonicalize_url_urllib,
+)
+
+messy_hrefs = st.one_of(
+    rel_hrefs,
+    st.from_regex(
+        r"(https?://)?[A-Za-z0-9.:@\-]{0,12}(/[A-Za-z0-9._%~\-]{0,6}){0,3}"
+        r"(\?[a-z=%&~]{0,8})?(#[a-z0-9?/]{0,6})?",
+        fullmatch=True,
+    ),
+    st.from_regex(r"(\.{1,3}/){0,3}[a-z0-9%:@.]{0,10}", fullmatch=True),
+    st.text(
+        alphabet="abz09-._~!$&'()*+,/:=?#%@; \t[]\\",
+        max_size=30,
+    ),
+)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(base=st.one_of(st.none(), urls()), href=messy_hrefs)
+def test_fast_path_matches_urllib(base, href):
+    href = href.strip()
+    if not href:
+        return
+    fast = _canonicalize_fast(base, href)
+    if fast is _FALLBACK:
+        return
+    assert fast == _canonicalize_url_urllib(base, href)
+
+
+def test_fast_path_covers_common_shapes():
+    """The shapes the engine actually produces must HIT the fast path (a
+    regression to fallback would silently triple the hot loop's cost)."""
+    cases = [
+        ("https://h.test/p/1", "../p/2"),
+        ("https://h.test/p/1", "/p/2"),
+        ("https://h.test/p/1", "https://h.test:443/p/2#f"),
+        ("https://h.test/p/1", "https://h.test/p/2"),
+        ("https://h.test/p/1", "../p/2?x=%7e"),
+        ("https://h.test/p/1", "/p/2#s"),
+        (None, "https://h.test/p/2"),
+    ]
+    for base, href in cases:
+        out = _canonicalize_fast(base, href)
+        assert out is not _FALLBACK, (base, href)
+        assert out == _canonicalize_url_urllib(base, href)
