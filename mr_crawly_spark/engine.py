@@ -25,6 +25,7 @@ only runs on rounds that can actually hit the budget (short-circuit).
 from __future__ import annotations
 
 import logging
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -176,6 +177,16 @@ class CrawlConfig:
     # funneling its final projection through 8 tasks (verdict r2 #2).
     rows_per_write_task: int = 1_000_000
     min_write_partitions: int = 8
+    # AQE gate for the round's materializing actions: a round whose
+    # touched-row upper bound is below this runs them with AQE OFF. On a
+    # small round, wall time is pure driver latency — AQE turns the fused
+    # round job into ~26 sequential sub-jobs (one per exchange, each with
+    # a driver re-planning gap; measured on the bench corpus), while its
+    # skew-split/coalesce value only exists when partitions carry real
+    # data. Large rounds keep AQE on (the hot-host skew story needs it).
+    # The rule itself is scale-adaptive: a cluster round over millions of
+    # touched rows takes the AQE branch automatically.
+    aqe_small_round_rows: int = 200_000
 
 
 def _throttle_outcomes(processed: DataFrame) -> DataFrame:
@@ -842,6 +853,22 @@ class CrawlEngine:
         row = df.agg(*self._rc["aggs"]).first()
         return {k: int(row[k] or 0) for k in self._OUTCOME_KEYS}
 
+    @contextmanager
+    def _aqe(self, enabled: bool):
+        """Temporarily pin spark.sql.adaptive.enabled for a materializing
+        action (see CrawlConfig.aqe_small_round_rows)."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled")
+        want = "true" if enabled else "false"
+        if prev == want:
+            yield
+            return
+        conf.set("spark.sql.adaptive.enabled", want)
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
     def _write_width(self, approx_rows: int | None) -> int:
         """Partition width for a materializing write, scaled off the caller's
         driver-tracked row bound (never a count job). Floors at
@@ -924,12 +951,27 @@ class CrawlEngine:
             self.pending_count is None
             or self.visited_count + self.pending_count > self.cfg.max_pages
         )
+        # small-round AQE gate (CrawlConfig.aqe_small_round_rows): decide
+        # once per round off the same driver-tracked bound the write width
+        # uses — unknown bounds (fresh resume) keep AQE on
+        round_bound = (
+            None
+            if self.pending_count is None
+            else self._updates_count
+            + self.pending_count
+            + int(self._last_metrics.get("new_urls", 0) or 0)
+        )
+        small_round = (
+            round_bound is not None
+            and round_bound < self.cfg.aqe_small_round_rows
+        )
         obs_cls: Observation | None = None
         cnt: dict | None = None
         if budget_risk:
             classified = classified_base.persist()
             self._round_persists.append(classified)
-            cnt = self._outcome_counts(classified)  # eager job
+            with self._aqe(enabled=not small_round):
+                cnt = self._outcome_counts(classified)  # eager job
             if cnt["n"] == 0:
                 self.round = r
                 self._last_metrics = {"round": r, "processed": 0, "fetched_ok": 0}
@@ -954,7 +996,8 @@ class CrawlEngine:
                 ).persist()
                 self._round_persists.append(classified)  # both released at flush
                 processed = classified.filter(F.col("_processed"))
-                cnt = self._outcome_counts(processed)
+                with self._aqe(enabled=not small_round):
+                    cnt = self._outcome_counts(processed)
             else:
                 processed = classified
         else:
@@ -1130,9 +1173,10 @@ class CrawlEngine:
             + (self.pending_count or 0)
             + int(self._last_metrics.get("new_urls", 0) or 0)
         )
-        updates_ck = round_updates.coalesce(
-            self._write_width(updates_bound)
-        ).localCheckpoint()
+        with self._aqe(enabled=not small_round):
+            updates_ck = round_updates.coalesce(
+                self._write_width(updates_bound)
+            ).localCheckpoint()
         n_new = int(obs_new.get["n_new"] or 0)
         if cnt is None:
             cnt = {k: int(obs_cls.get[k] or 0) for k in self._OUTCOME_KEYS}
