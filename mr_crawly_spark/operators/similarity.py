@@ -16,8 +16,19 @@ import hashlib
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _lit_vec(xs) -> Column:
+    """One array<double> Literal for a driver-side vector. The obvious
+    F.array(*[F.lit(x) ...]) builds a CreateArray node with dim children
+    (dim py4j calls to construct, dim-node trees for Catalyst to walk in
+    every analysis/optimization pass of every iteration's plan);
+    F.lit(list) ships the same values as a single Literal node with
+    identical type (array<double>, containsNull=false) and identical
+    fold/zip semantics downstream."""
+    return F.lit([float(x) for x in xs])
 
 
 def _dot(a, b):
@@ -49,7 +60,7 @@ def cosine_topk(
     global top-k (takeOrdered semantics via orderBy.limit — Spark runs this
     as per-partition top-k + small merge, no full sort at scale).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     scored = embeddings.select(
         F.col(id_col),
@@ -78,7 +89,7 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     """Bucket id = bit-packed signs of <v, plane_p>."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        pl = F.array(*[F.lit(float(x)) for x in plane])
+        pl = _lit_vec(plane)
         bit = F.when(_dot(vec_col, pl) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -173,7 +184,7 @@ def ivf_assign(
     (struct ordering: sim first, then -idx for deterministic ties)."""
     scored = []
     for idx, c in enumerate(centroids):
-        pl = F.array(*[F.lit(float(x)) for x in c])
+        pl = _lit_vec(c)
         cn = math.sqrt(sum(v * v for v in c)) or 1.0
         sim = _dot(F.col(vec_col), pl) / (F.lit(cn) * _norm(F.col(vec_col)))
         scored.append(F.struct(sim.alias("sim"), F.lit(-idx).alias("negidx")))
