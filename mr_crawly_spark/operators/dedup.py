@@ -560,15 +560,26 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates(["u", "v"])
         )
-        # symmetric closure for the next large-star round
+        # symmetric closure for the next large-star round; the
+        # convergence signature rides the SAME materializing action as an
+        # Observation (was a separate signature() job per round — 2 driver
+        # jobs/round -> 1)
+        obs = Observation()
         edges = (
             small.unionByName(
                 small.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .dropDuplicates(["u", "v"])
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+                ).alias("s"),
+            )
             .localCheckpoint()
         )
-        new_sig = signature(edges)
+        new_sig = (int(obs.get["n"]), int(obs.get["s"]))
         if new_sig == sig:
             converged = True
             break
@@ -824,7 +835,13 @@ def remove_duplicated_spans(
     """
     L = span_tokens
     toks = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("_w"))
+    # base feeds three branches (grams, touched semi-join, untouched
+    # anti-join) and grams feeds two (stats agg, flagged join): lazy
+    # checkpoints make each compute once instead of once per consumer —
+    # without them the tokenizer ran 3x and the gram md5 pass 2x per query
+    base = docs.select(F.col(id_col), toks.alias("_w")).localCheckpoint(
+        eager=False
+    )
     grams = base.select(
         id_col,
         F.posexplode(shingles_of_tokens(F.col("_w"), L)).alias("_pos", "_g"),
@@ -834,7 +851,7 @@ def remove_duplicated_spans(
         F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
         .cast("long")
         .alias("_h"),
-    )
+    ).localCheckpoint(eager=False)
     stats = grams.groupBy("_h").agg(
         F.min(id_col).alias("_keeper"), F.max(id_col).alias("_maxd")
     )
@@ -845,6 +862,7 @@ def remove_duplicated_spans(
             & (F.col(id_col) != F.col("_keeper"))
         )
         .select(id_col, "_pos")
+        .localCheckpoint(eager=False)
     )
     covered = flagged.select(
         id_col,
@@ -853,7 +871,9 @@ def remove_duplicated_spans(
         ),
     ).distinct()
     touched_ids = flagged.select(id_col).distinct()
-    touched = base.join(touched_ids, id_col, "left_semi")
+    touched = base.join(touched_ids, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
     kept = (
         touched.select(
             id_col,

@@ -57,12 +57,18 @@ def triangle_stats(
     Each triangle is found exactly once, from its (degree, id)-minimal
     vertex; the per-node attribution then explodes the three corners.
     """
-    e0 = _canonical_edges(edges, src, dst)
+    # consumed by three branches each (degree union + orientation join;
+    # du/dv/final attribution join; a/b/closing) — without the lazy
+    # checkpoints Catalyst re-executes the whole upstream subtree once per
+    # branch (the measured plan carried the canonicalize-distinct and the
+    # degree agg three times each: 271 operators, 6 parquet scans)
+    e0 = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint(eager=False)
     )
     # orient u->v by the (degree, id) total order: out-degree is O(sqrt(E))
     # for every node (a hub only keeps edges to higher-degree nodes)
@@ -96,7 +102,7 @@ def triangle_stats(
         F.when(F.col("_ku") < F.col("_kv"), F.col("_kv"))
         .otherwise(F.col("_ku"))
         .alias("_khi"),
-    )
+    ).localCheckpoint(eager=False)
     # wedges from the pivot (order-minimal) vertex: two out-edges, far
     # endpoints ordered by the same total order so (y, z) is generated once
     a = oriented.select(
