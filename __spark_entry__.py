@@ -2022,6 +2022,48 @@ def q_change_rate(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ------------------------------------------------------------------
+        # r06 ordering: the driver samples ~50 entries per round, biased
+        # toward the head of this dict — lead with the 34 entries that have
+        # never had a driver CORRECTNESS row (union of CORRECTNESS_r01-r05)
+        # so every registry entry gets driver-checked evidence. Pure
+        # reordering: names, callables and oracle SQL are untouched.
+        # ------------------------------------------------------------------
+        "dedup_e2e": q_dedup_e2e,
+        "dsir": q_dsir,
+        "clf_quality": q_clf_quality,
+        "semdedup": q_semdedup,
+        "kmeans": q_kmeans,
+        "bpe": q_bpe,
+        "length_quantiles": q_length_quantiles,
+        "hll": q_hll,
+        "cms": q_cms,
+        "kmv": q_kmv,
+        "kmv_sets": q_kmv_sets,
+        "dd_quantiles": q_dd_quantiles,
+        "dd_by": q_dd_by,
+        "range_join": q_range_join,
+        "hll_by": q_hll_by,
+        "text_norm": q_text_norm,
+        "sim_join": q_sim_join,
+        "weighted_sample": q_weighted_sample,
+        "domain_cap": q_domain_cap,
+        "domain_cap_sampled": q_domain_cap_sampled,
+        "para_dedup": q_para_dedup,
+        "corpus_diff": q_corpus_diff,
+        "span_stats": q_span_stats,
+        "top_ngrams": q_top_ngrams,
+        "tfidf_keywords": q_tfidf_keywords,
+        "media_dedup": q_media_dedup,
+        "winnow": q_winnow,
+        "dedup_spans": q_dedup_spans,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_ratio": q_cdc_ratio,
+        "trap_params": q_trap_params,
+        "trap_collapse": q_trap_collapse,
+        "url_templates": q_url_templates,
+        "change_rate": q_change_rate,
+        # --- previously driver-sampled entries (green in r01-r05) ---------
         "seen_antijoin": q_seen_antijoin,
         "seen_sidecar_bloom": q_seen_sidecar_bloom,
         "seen_sidecar_cuckoo": q_seen_sidecar_cuckoo,
@@ -2087,46 +2129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_edit": q_neardup_edit,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_e2e": q_dedup_e2e,
-        "dsir": q_dsir,
-        "clf_quality": q_clf_quality,
-        "semdedup": q_semdedup,
-        "kmeans": q_kmeans,
-        "bpe": q_bpe,
-        "length_quantiles": q_length_quantiles,
-        "hll": q_hll,
-        "cms": q_cms,
-        "kmv": q_kmv,
-        "kmv_sets": q_kmv_sets,
-        "dd_quantiles": q_dd_quantiles,
-        "dd_by": q_dd_by,
-        "range_join": q_range_join,
-        "hll_by": q_hll_by,
-        "text_norm": q_text_norm,
-        "sim_join": q_sim_join,
-        "weighted_sample": q_weighted_sample,
-        "domain_cap": q_domain_cap,
-        "domain_cap_sampled": q_domain_cap_sampled,
-        "para_dedup": q_para_dedup,
-        "corpus_diff": q_corpus_diff,
-        "span_stats": q_span_stats,
-        "top_ngrams": q_top_ngrams,
-        "tfidf_keywords": q_tfidf_keywords,
-        "media_dedup": q_media_dedup,
-        "winnow": q_winnow,
-        "dedup_spans": q_dedup_spans,
-        "cdc_chunks": q_cdc_chunks,
-        "cdc_ratio": q_cdc_ratio,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_multi": q_embed_neardup_multi,
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
-        "trap_params": q_trap_params,
-        "trap_collapse": q_trap_collapse,
-        "url_templates": q_url_templates,
-        "change_rate": q_change_rate,
     }
 
 

@@ -1242,12 +1242,18 @@ class CrawlEngine:
             self.pending_count += n_new + cnt["retry_back"] - n_processed
         self.round = r
         self._last_metrics = metrics
-        if self.cfg.use_adaptive_politeness:
+        if self.cfg.use_adaptive_politeness and not (
+            self._throttle is None and cnt["retries"] == 0
+        ):
             # fold this round's per-host LIVE-request outcome counts into
             # the AIMD state — one map-side-combined agg over the already-
             # persisted round frame, bounded by the slice, never the
             # frontier. An empty state resets to None so a healthy crawl
-            # pays zero extra plan cost (the slice joins budgets directly).
+            # pays zero extra plan cost (the slice joins budgets directly);
+            # with no state AND a transient-free round (retries counts the
+            # same _outcome == 'retry' rows n_transient sums), the fold is
+            # provably a no-op, so the checkpoint+count job pair is
+            # skipped outright (ADVICE r5 #2).
             t_new = update_throttle(
                 self._throttle, _throttle_outcomes(processed),
                 fail_threshold=self.cfg.throttle_fail_threshold,

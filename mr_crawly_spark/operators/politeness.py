@@ -248,7 +248,17 @@ def update_throttle(
             [], "host string, mult double"
         )
     )
-    merged = base.join(obs, "host", "full")
+    # full-outer shape as left + anti union (the apply_throttle rationale,
+    # cf5b2a0): Spark cannot execute a full outer join as a broadcast
+    # join, so the one-row-per-observed-host obs frame would force a
+    # shuffle of both sides every round. Both legs below are
+    # broadcast-eligible (state holds only throttled hosts; obs is
+    # bounded by the round's slice).
+    merged = base.join(obs, "host", "left").unionByName(
+        obs.join(base.select("host"), "host", "left_anti").withColumn(
+            "mult", F.lit(None).cast("double")
+        ).select("host", "mult", "_failing")
+    )
     new_mult = (
         F.when(
             F.col("_failing"),
