@@ -1280,6 +1280,23 @@ class CrawlEngine:
         r = self.round
         if getattr(self, "_flushed_round", None) == r:
             return
+        # same small-round AQE gate as run_round: the flush writes are
+        # bounded by the touched-row counter (links fans out ~4x), except
+        # a compaction flush which rewrites the whole frontier
+        will_compact = (
+            self._frontier_updates is not None
+            and self._flushes_since_compact + 1 >= self.cfg.compact_every
+        )
+        gate_rows = self._updates_count * 4
+        if will_compact:
+            gate_rows = max(
+                gate_rows,
+                self.frontier_count or self.cfg.aqe_small_round_rows,
+            )
+        with self._aqe(enabled=gate_rows >= self.cfg.aqe_small_round_rows):
+            self._flush_impl(r)
+
+    def _flush_impl(self, r: int) -> None:
         # captured before the frontier branch may zero it at compaction
         touched = self._updates_count
         # sidecar-mode prefilters fold the round deltas in DISTRIBUTED at
