@@ -508,7 +508,12 @@ def unigram_logprob(
     tok = d.select(F.col(id_col), F.col("_n"), F.explode("_t").alias("_w"))
     tf = tok.groupBy(id_col, "_n", "_w").agg(F.count(F.lit(1)).alias("_tf"))
     vocab = tf.groupBy("_w").agg(F.sum("_tf").alias("_cnt"))
-    total = vocab.agg(F.sum("_cnt").alias("t")).first()["t"]
+    # corpus token total for the literal: sum of per-doc sizes — the same
+    # integer as vocab.agg(sum(_cnt)) (explode emits size(_t) rows per doc;
+    # null-text docs are null in both: explode skips them, sum ignores
+    # nulls) without paying the explode+two-agg pass a second time just to
+    # read one scalar
+    total = d.agg(F.sum("_n").cast("bigint").alias("t")).first()["t"]
     if not total:
         from pyspark.sql.types import (
             DoubleType, LongType, StructField, StructType,
@@ -931,10 +936,14 @@ def pmi_collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
     toks = base.select(tokens(F.col(text_col)).alias("_w"))
+    # vocabulary-sized and consumed three times (totals scalar, ua, ub) —
+    # the lazy checkpoint computes the tokenize+explode+agg once instead
+    # of once per consumer
     uni = (
         toks.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+        .localCheckpoint(eager=False)
     )
     big = (
         toks.select(
@@ -952,9 +961,12 @@ def pmi_collocations(
         return big.select(
             "bigram", "freq", F.lit(0.0).alias("pmi")
         ).limit(0)
+    # size(shingles(_w, 2)) == greatest(size(_w) - 1, 0) exactly (the
+    # shifted-slice builder's own length formula) — count bigrams without
+    # materializing the shingle strings a second time
     n_bigrams_row = (
         toks.select(
-            F.size(shingles_of_tokens(F.col("_w"), 2)).alias("_nb")
+            F.greatest(F.size("_w") - 1, F.lit(0)).alias("_nb")
         )
         .agg(F.sum("_nb").alias("_n"))
         .first()

@@ -89,7 +89,12 @@ def similarity_join(
     if shingle < 1:
         raise ValueError(f"shingle must be >= 1, got {shingle}")
     t = float(threshold)
-    base = _sorted_token_arrays(docs, id_col, text_col, shingle)
+    # consumed three times (prefix explode, ta, tb verification sides):
+    # the lazy checkpoint runs the tokenize+shingle+dedup+sort once
+    # instead of once per consumer
+    base = _sorted_token_arrays(docs, id_col, text_col, shingle).localCheckpoint(
+        eager=False
+    )
     # prefix length |X| - ceil(t|X|) + 1; slice is 1-indexed
     plen = F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")).cast("int") + 1
     prefixes = base.select(
@@ -130,8 +135,20 @@ def similarity_join(
     jac = inter.cast("double") / (
         F.col("_na") + F.col("_nb") - inter
     ).cast("double")
+    # pin the verification width: the per-pair array_intersect is the
+    # expensive row work here, but its shuffle BYTES are small, so AQE's
+    # byte-wise coalescing funnels the whole verification onto one task
+    # (measured: a single 2.3s task closing an otherwise-parallel query).
+    # Explicit-width repartitions on the candidate side are exempt from
+    # coalescing and carry only (id_a, id_b) pairs; the width is the
+    # session's shuffle-partition setting, i.e. cluster-adaptive.
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
-        cand.join(ta, "id_a")
+        cand.repartition(n_parts, "id_a")
+        .join(ta, "id_a")
+        .repartition(n_parts, "id_b")
         .join(tb, "id_b")
         # threshold on the UNROUNDED score (rounding first would admit
         # pairs up to 5e-5 below t); report the 4-dp value
