@@ -582,10 +582,15 @@ def bigram_perplexity(
         F.col(id_col),
         F.explode(shingles_of_tokens(F.col("_t"), 2)).alias("_b"),
     )
+    # tf feeds the model agg AND the final join; model feeds ctx AND the
+    # final join — lazy checkpoints run the tokenize+shingle+agg lineage
+    # once per frame instead of once per consumer
     tf = bg.groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_tf")
-    )
-    model = tf.groupBy("_b").agg(F.sum("_tf").cast("bigint").alias("_cab"))
+    ).localCheckpoint(eager=False)
+    model = tf.groupBy("_b").agg(
+        F.sum("_tf").cast("bigint").alias("_cab")
+    ).localCheckpoint(eager=False)
     ctx = model.groupBy(
         F.split(F.col("_b"), " ", 2)[0].alias("_a")
     ).agg(F.sum("_cab").cast("bigint").alias("_ca"))

@@ -124,7 +124,12 @@ def search_topk(
         # even listed, let alone read (asserted by plan test).
         buckets = sorted({term_bucket_of(t, n_term_buckets) for t in terms})
         index = index.filter(F.col("term_bucket").isin(buckets))
-    matched = index.filter(F.col("term").isin(terms))
+    # matched feeds the df-scalar collect AND the scoring explode; the
+    # lazy checkpoint (<= |terms|*n_doc_blocks rows) keeps the upstream —
+    # which for an ad-hoc index is the whole build — from running twice
+    matched = index.filter(F.col("term").isin(terms)).localCheckpoint(
+        eager=False
+    )
     # per-term corpus df: blocks partition docs -> sum of df_block.
     # <= |terms| rows of driver metadata (the bm25_scores_exploded class).
     dfreq = {
