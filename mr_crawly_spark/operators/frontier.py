@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from mr_crawly_spark.datagen import DEFAULT_PRIORITY
@@ -437,14 +437,19 @@ def hits(
         aggregated collect (scale-safe — a single-partition window over
         the scores would gather the whole state on one task)."""
         m = bc(mass)
+        obs = Observation()
         raw = (
             e.join(m, e[key_in] == m.url)
             .select(F.col(key_out).alias("url"), F.col(mass_col).alias("_m"))
             .groupBy("url")
             .agg(F.sum("_m").alias("_v"))
+            .observe(obs, F.max("_v").alias("mx"))
             .localCheckpoint()
         )
-        mx = raw.agg(F.max("_v")).collect()[0][0]
+        # the max rides the checkpoint job as an Observation — same
+        # partial-aggregated reduction as the old agg(max).collect(), one
+        # driver job per half-step instead of two
+        mx = obs.get["mx"]
         return raw.select(
             "url", F.round(F.col("_v") / F.lit(float(mx)), 6).alias(out_col)
         )

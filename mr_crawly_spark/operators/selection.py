@@ -81,18 +81,31 @@ def dsir_weights(
     smoothing: float = DSIR_SMOOTHING,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _raw_feats: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, w) importance weights: w = ln p_target(b) − ln p_raw(b)
     with add-``smoothing`` Laplace estimates over ``n_buckets`` hashed
     bigram buckets. Buckets absent from BOTH corpora are omitted (their
     weight is the constant ln(a/(T+aB)) − ln(a/(R+aB)); scoring coalesces
-    to it). The only driver data is the two scalar totals."""
+    to it). The only driver data is the two scalar totals.
+
+    ``_raw_feats``: pre-built (and ideally checkpointed) raw-side feature
+    buckets, so dsir_scores can share ONE raw-corpus pass between the
+    count table and the scoring explode. The two bucket-count tables are
+    lazily checkpointed (≤ n_buckets rows each): each feeds its total
+    scalar AND the full join, and without the cut the corpus feature pass
+    re-ran once per consumer."""
     t = _bucket_counts(
         _doc_feature_buckets(target, n_buckets, ngram, id_col, text_col)
-    ).withColumnRenamed("cnt", "t_cnt")
-    r = _bucket_counts(
-        _doc_feature_buckets(raw, n_buckets, ngram, id_col, text_col)
-    ).withColumnRenamed("cnt", "r_cnt")
+    ).withColumnRenamed("cnt", "t_cnt").localCheckpoint(eager=False)
+    raw_feats = (
+        _raw_feats
+        if _raw_feats is not None
+        else _doc_feature_buckets(raw, n_buckets, ngram, id_col, text_col)
+    )
+    r = _bucket_counts(raw_feats).withColumnRenamed(
+        "cnt", "r_cnt"
+    ).localCheckpoint(eager=False)
     t_total = t.agg(F.sum("t_cnt")).first()[0] or 0
     r_total = r.agg(F.sum("r_cnt")).first()[0] or 0
     a = smoothing
@@ -131,10 +144,13 @@ def dsir_scores(
     absent (no features to score). The downstream selection step is
     ``filter(dsir_score > cut)`` or a Gumbel-free deterministic variant of
     DSIR's sampling: ``deterministic_sample`` salted per score band."""
+    doc_feats = _doc_feature_buckets(
+        raw, n_buckets, ngram, id_col, text_col
+    ).localCheckpoint(eager=False)
     weights = dsir_weights(
-        raw, target, n_buckets, ngram, smoothing, id_col, text_col
+        raw, target, n_buckets, ngram, smoothing, id_col, text_col,
+        _raw_feats=doc_feats,
     )
-    doc_feats = _doc_feature_buckets(raw, n_buckets, ngram, id_col, text_col)
     # weights ≤ n_buckets rows — KBs; broadcast so the scan never shuffles
     scored = doc_feats.join(F.broadcast(weights), "bucket", "left")
     return scored.groupBy(id_col).agg(
