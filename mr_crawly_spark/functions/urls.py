@@ -212,11 +212,14 @@ def _canonicalize_url_urllib(base: str | None, href: str) -> str | None:
     """The original urllib-built canonicalizer (slow path + semantics
     reference for the differential tests). ``href`` is already stripped
     and non-empty."""
-    if href.startswith(("http://", "https://")) or not base:
-        absolute = href
-    else:
-        absolute = urljoin(base, href)
     try:
+        if href.startswith(("http://", "https://")) or not base:
+            absolute = href
+        else:
+            # inside the try: urljoin itself urlsplits and raises on
+            # malformed bracket netlocs ("//[x" → Invalid IPv6 URL) — a
+            # crawler meets those, and a crash would kill the whole batch
+            absolute = urljoin(base, href)
         parts = urlsplit(absolute)
     except ValueError:
         return None
@@ -262,7 +265,11 @@ def _canonicalize_udf_det(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
 
     Replaces the per-row ``urljoin`` at parser.py:51. String work must run in
     Python (urllib semantics are the contract); Arrow batching keeps the
-    transfer columnar — ~10-100x over row-at-a-time UDFs.
+    transfer columnar — ~10-100x over row-at-a-time UDFs. (An Arrow-native
+    pyarrow.compute rewrite of the common shapes was prototyped in r06 and
+    measured WITHIN NOISE of this form once the scalar fast path landed —
+    the boundary cost is no longer the bottleneck — so the simpler form
+    stays.)
     """
     return canonicalize_pairs(bases, hrefs)
 
