@@ -245,6 +245,8 @@ def bm25_scores(
             "size is constant in the term count"
         )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # consumed twice (corpus-stats scalar agg, final scoring projection):
+    # the lazy checkpoint runs the tokenize + per-term tf pass once
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_dl", F.size("_t")
     )
@@ -255,6 +257,7 @@ def bm25_scores(
 
     for i, t in enumerate(query_terms):
         d = d.withColumn(f"_tf{i}", F.size(F.filter(F.col("_t"), _eq(t))))
+    d = d.localCheckpoint(eager=False)
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.avg("_dl").alias("avgdl"),
@@ -320,6 +323,8 @@ def bm25_scores_exploded(
     mult = Counter(query_terms)
     terms = sorted(mult)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # consumed twice (corpus-stats scalar agg, final scoring projection):
+    # the lazy checkpoint runs the tokenize + per-term tf pass once
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_dl", F.size("_t")
     )
@@ -427,9 +432,11 @@ def repetition_stats(
     bit-exactly. Docs with fewer than 2 (3) tokens define the bigram
     (trigram) fraction as 0.0."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # consumed twice (scan-side fractions, top-bigram agg): the lazy
+    # checkpoint runs the tokenize once
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
         "_n", F.size("_t")
-    )
+    ).localCheckpoint(eager=False)
 
     def grams(width: int):
         # the shared zipped-slice shingle builder (one n-gram construction
