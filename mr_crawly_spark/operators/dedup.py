@@ -533,10 +533,21 @@ def connected_components_star(
 
     edges = sym
     sig = signature(edges)
+    n_edges = sig[0]
     rounds = 0
     converged = False
+    # the min-label tables are bounded by the live edge count, which the
+    # signature tracks per round — under the gate they broadcast (the
+    # checkpointed edge frame carries no stats, so the planner would
+    # otherwise sort-merge both star joins every round); past it the
+    # shuffle join is the right shape for cluster-sized graphs
+    _BC_LIMIT = 2_000_000
     for _ in range(max_iterations):
         rounds += 1
+
+        def bc(state: DataFrame) -> DataFrame:
+            return F.broadcast(state) if n_edges <= _BC_LIMIT else state
+
         # --- large-star: larger neighbors attach to u's min neighborhood --
         m_large = (
             edges.groupBy("u")
@@ -544,17 +555,22 @@ def connected_components_star(
         )
         large = (
             edges.filter(F.col("v") > F.col("u"))
-            .join(m_large, "u")
+            .join(bc(m_large), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # --- small-star: orient larger->smaller, attach to the minimum ----
+        # directed feeds the m_small agg AND the re-join; m_small feeds the
+        # re-join AND the union leg — lazy checkpoints run each subtree
+        # once per round instead of once per consumer
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).dropDuplicates(["u", "v"])
-        m_small = directed.groupBy("u").agg(F.min("v").alias("m"))
+        ).dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
+        m_small = directed.groupBy("u").agg(
+            F.min("v").alias("m")
+        ).localCheckpoint(eager=False)
         small = (
-            directed.join(m_small, "u")
+            directed.join(bc(m_small), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m_small.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
@@ -580,6 +596,7 @@ def connected_components_star(
             .localCheckpoint()
         )
         new_sig = (int(obs.get["n"]), int(obs.get["s"]))
+        n_edges = new_sig[0]
         if new_sig == sig:
             converged = True
             break
