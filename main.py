@@ -66,8 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--archive-dedup", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="content-addressed archive: recrawls re-store only "
-                        "CHANGED content; every visit logs a tiny row in "
-                        "the visits table")
+                        "CHANGED content; every LIVE visit logs a tiny row "
+                        "in the visits table. NOTE: with the default page "
+                        "cache on (and --use-freshness off) recrawls are "
+                        "served from cache, so no live fetches happen and "
+                        "the visits log / change capture stay empty — pair "
+                        "with --use-freshness, or set use_page_cache=false "
+                        "in the [crawl] TOML config (ADVICE r5)")
     p.add_argument("--adaptive-politeness", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="AIMD per-host throttling off observed transient-"

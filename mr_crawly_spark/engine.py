@@ -1509,6 +1509,16 @@ class CrawlEngine:
             pages = self.catalog.load("pages", max_round=self.round)
             if pages is None:
                 return None
+            if self.cfg.use_page_cache and not self.cfg.use_freshness:
+                # runtime signal for the caveat above (ADVICE r5 #3): with
+                # the cache armed, recrawl cycles in this history may have
+                # been cache-served, silently biasing rates toward 0
+                log.warning(
+                    "measured_change_rates: pages-table fallback with "
+                    "use_page_cache on — cache-served recrawls bias "
+                    "change rates toward 0; collect history with "
+                    "use_freshness or archive_dedup's visits log"
+                )
             visits = pages.filter(
                 (F.col("fetch_status") == 200) & F.col("spans").isNotNull()
             ).select("url", ts_col, _span_fp().alias("fingerprint"))
